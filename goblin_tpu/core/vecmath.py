@@ -195,7 +195,33 @@ def euler_to_quat(xyz_degrees, order="xyz"):
 
 # ---------------------------------------------------------------------------
 # Transforms (position, quaternion, scale) -> 4x4, applied M @ [v, 1]
+#
+# Small-matrix application is written as stacked dot products, NOT
+# einsum/matmul: XLA would route a (R,3)x(3,3) contraction to the MXU in
+# bf16 on TPU (wrong precision) and waste the 128x128 systolic array on a
+# 3-wide op. Elementwise mul+add stays f32 on the VPU and fuses.
 # ---------------------------------------------------------------------------
+
+
+def mat3_apply(m, v):
+    """(..., 3, 3) @ (..., 3) -> (..., 3) via VPU-friendly dots."""
+    return jnp.stack(
+        [
+            jnp.sum(m[..., 0, :] * v, axis=-1),
+            jnp.sum(m[..., 1, :] * v, axis=-1),
+            jnp.sum(m[..., 2, :] * v, axis=-1),
+        ],
+        axis=-1,
+    )
+
+
+def mat3_apply_t(m, v):
+    """Apply transpose: (..., 3, 3)^T @ (..., 3) -> (..., 3)."""
+    return (
+        m[..., 0, :] * v[..., 0:1]
+        + m[..., 1, :] * v[..., 1:2]
+        + m[..., 2, :] * v[..., 2:3]
+    )
 
 
 def compose_matrix(position, quat, scale):
@@ -214,16 +240,16 @@ def compose_matrix(position, quat, scale):
 
 def transform_point(m, p):
     """Apply 4x4 m to points (..., 3)."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    return mat3_apply(m[..., :3, :3], p) + m[..., :3, 3]
 
 
 def transform_vector(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return mat3_apply(m[..., :3, :3], v)
 
 
 def transform_normal(m_inv, n):
     """Normals transform by the inverse-transpose: n' = (M^-1)^T n."""
-    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
+    return mat3_apply_t(m_inv[..., :3, :3], n)
 
 
 def matrix_inverse(m):
@@ -237,6 +263,7 @@ def matrix_inverse(m):
 
 
 def perspective_lh_d3d(fov_y, aspect, zn, zf):
+    """Host-side constructor: returns numpy (safe to build inside jit)."""
     y_scale = 1.0 / np.tan(fov_y / 2.0)
     x_scale = y_scale / aspect
     m = np.zeros((4, 4), dtype=np.float32)
@@ -245,17 +272,18 @@ def perspective_lh_d3d(fov_y, aspect, zn, zf):
     m[2, 2] = zf / (zf - zn)
     m[2, 3] = -zn * zf / (zf - zn)
     m[3, 2] = 1.0
-    return jnp.asarray(m)
+    return m
 
 
 def ortho_lh_d3d(w, h, zn, zf):
+    """Host-side constructor: returns numpy (safe to build inside jit)."""
     m = np.zeros((4, 4), dtype=np.float32)
     m[0, 0] = 2.0 / w
     m[1, 1] = 2.0 / h
     m[2, 2] = 1.0 / (zf - zn)
     m[2, 3] = zn / (zn - zf)
     m[3, 3] = 1.0
-    return jnp.asarray(m)
+    return m
 
 
 # ---------------------------------------------------------------------------

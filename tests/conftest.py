@@ -17,3 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# This box has few cores and XLA:CPU compiles are slow (~1s per tiny op);
+# the persistent compilation cache makes repeat test runs fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+
+# The environment's sitecustomize registers a TPU plugin and imports jax
+# before this conftest runs, so the env var alone is ignored — force the
+# platform through the live config object.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
