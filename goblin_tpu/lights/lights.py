@@ -1,0 +1,282 @@
+"""Light table: batched sampling/eval for all light types.
+
+TPU re-design of the reference Light hierarchy (src/GoblinLight.{h,cpp}):
+per-lane type ids select between masked per-type computations. Semantics
+preserved:
+
+- point: Li = I/r^2, delta, power 4*pi*I            (:78-134)
+- directional: parallel radiance, delta             (:136-210)
+- spot: cone falloff ((cos-cosMax)/(cosStart-cosMax))^4  (:212-287)
+- area: one-sided Le (dot(ns, w) > 0), solid-angle pdf via sampled
+  geometry; world-space triangle sets with an area CDF per light
+  (:289-461). Area lights here sample *world-space* triangles baked from
+  the instanced geometry, so the world area is exact rather than the
+  reference's uniform-scale approximation (:396-404).
+- ibl: lat-long environment map (env_* fields; evaluated via the scene's
+  env table)
+
+Delta lights (point/directional/spot) return pdf == 1 with is_delta True,
+matching the reference's convention where sampleL pdf is 1 and MIS is
+skipped for delta lights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import sampling as sp
+from ..core import vecmath as vm
+
+LIGHT_POINT = 0
+LIGHT_DIRECTIONAL = 1
+LIGHT_SPOT = 2
+LIGHT_AREA = 3
+LIGHT_IBL = 4
+
+
+@dataclass
+class LightsBuild:
+    """Host-side accumulation during scene bake."""
+
+    types: list = field(default_factory=list)
+    colors: list = field(default_factory=list)  # intensity/radiance/Le
+    positions: list = field(default_factory=list)
+    directions: list = field(default_factory=list)
+    cos_theta_max: list = field(default_factory=list)
+    cos_falloff_start: list = field(default_factory=list)
+    sample_nums: list = field(default_factory=list)
+    areas: list = field(default_factory=list)  # world area (area lights)
+
+    def add(self, ltype, color, position=(0, 0, 0), direction=(0, 0, 1),
+            cos_theta_max=-1.0, cos_falloff_start=-1.0, sample_num=1,
+            area=0.0) -> int:
+        self.types.append(ltype)
+        self.colors.append(np.asarray(color, np.float32))
+        self.positions.append(np.asarray(position, np.float32))
+        d = np.asarray(direction, np.float32)
+        n = np.linalg.norm(d)
+        self.directions.append(d / n if n > 0 else np.float32([0, 0, 1]))
+        self.cos_theta_max.append(cos_theta_max)
+        self.cos_falloff_start.append(cos_falloff_start)
+        self.sample_nums.append(sample_num)
+        self.areas.append(area)
+        return len(self.types) - 1
+
+
+def bake_lights(build: LightsBuild, em_tri_light, em_tri_area,
+                world_center, world_radius, env_luminance_power=0.0):
+    """-> dict of device arrays (the light table).
+
+    em_tri_light: (E,) light id per emissive triangle (BVH soup order ids
+    are carried separately); em_tri_area: (E,) world areas.
+    """
+    L = max(1, len(build.types))
+    types = np.asarray(build.types or [LIGHT_POINT], np.int32)
+    colors = np.asarray(build.colors or [np.zeros(3)], np.float32).reshape(L, 3)
+    positions = np.asarray(build.positions or [np.zeros(3)], np.float32).reshape(L, 3)
+    directions = np.asarray(build.directions or [np.float32([0, 0, 1])],
+                            np.float32).reshape(L, 3)
+
+    # power for the light-pick CDF (reference Scene ctor,
+    # src/GoblinScene.cpp:21-26, uses Color.luminance of power())
+    areas = np.asarray(build.areas or [0.0], np.float32)
+    lum = (
+        0.212671 * colors[:, 0] + 0.715160 * colors[:, 1] + 0.072169 * colors[:, 2]
+    )
+    power = np.zeros(L, np.float32)
+    for i, t in enumerate(np.asarray(types)):
+        if t == LIGHT_POINT:
+            power[i] = 4.0 * np.pi * lum[i]
+        elif t == LIGHT_DIRECTIONAL:
+            power[i] = np.pi * world_radius ** 2 * lum[i]
+        elif t == LIGHT_SPOT:
+            ctm = build.cos_theta_max[i]
+            cfs = build.cos_falloff_start[i]
+            power[i] = lum[i] * 2.0 * np.pi * (1.0 - 0.5 * (ctm + cfs))
+        elif t == LIGHT_AREA:
+            power[i] = lum[i] * np.pi * areas[i]
+        elif t == LIGHT_IBL:
+            power[i] = env_luminance_power
+    if power.sum() <= 0.0:
+        power[:] = 1.0
+
+    # per-light emissive-triangle segments with an area CDF inside each
+    E = len(em_tri_light)
+    em_light = np.asarray(em_tri_light, np.int32) if E else np.zeros(0, np.int32)
+    em_area = np.asarray(em_tri_area, np.float32) if E else np.zeros(0, np.float32)
+    # triangles are appended per light in order, so segments are contiguous
+    seg_start = np.zeros(L + 1, np.int32)
+    for i in range(L):
+        seg_start[i + 1] = seg_start[i] + int((em_light == i).sum())
+    # normalized per-light area cdf (within segment), padded globally
+    em_cdf = np.zeros(E, np.float32)
+    for i in range(L):
+        s, e = seg_start[i], seg_start[i + 1]
+        if e > s:
+            c = np.cumsum(em_area[s:e])
+            em_cdf[s:e] = c / c[-1]
+
+    return {
+        "type": jnp.asarray(types),
+        "color": jnp.asarray(colors),
+        "position": jnp.asarray(positions),
+        "direction": jnp.asarray(directions),
+        "cos_theta_max": jnp.asarray(
+            np.asarray(build.cos_theta_max or [-1.0], np.float32)
+        ),
+        "cos_falloff_start": jnp.asarray(
+            np.asarray(build.cos_falloff_start or [-1.0], np.float32)
+        ),
+        "area": jnp.asarray(areas),
+        "power": jnp.asarray(power),
+        "power_cdf": jnp.asarray(np.cumsum(power) / power.sum()),
+        "seg_start": jnp.asarray(seg_start),
+        "em_cdf": jnp.asarray(em_cdf),
+        "em_light": jnp.asarray(em_light),
+        "world_center": jnp.asarray(np.asarray(world_center, np.float32)),
+        "world_radius": jnp.float32(world_radius),
+    }
+
+
+def pick_light(lights, u):
+    """Power-weighted light pick (reference Scene::sampleLight).
+    Returns (light_id (R,), pick_pdf (R,))."""
+    cdf = lights["power_cdf"]
+    L = cdf.shape[0]
+    idx = jnp.sum((cdf[None, :] <= u[..., None]).astype(jnp.int32), axis=-1)
+    idx = jnp.clip(idx, 0, L - 1)
+    p = lights["power"]
+    pdf = p[idx] / jnp.sum(p)
+    return idx, pdf
+
+
+def spot_falloff(lights, lid, w):
+    """Spot cone falloff for world direction w leaving the light."""
+    d = lights["direction"][lid]
+    cos_t = vm.dot(w, d)
+    ctm = lights["cos_theta_max"][lid]
+    cfs = lights["cos_falloff_start"][lid]
+    delta = (cos_t - ctm) / jnp.maximum(cfs - ctm, 1e-12)
+    f = jnp.clip(delta, 0.0, 1.0) ** 4
+    return jnp.where(cos_t < ctm, 0.0, jnp.where(cos_t > cfs, 1.0, f))
+
+
+def sample_li(lights, tri_data, lid, p, eps, u1, u2):
+    """Sample incident illumination at p from light lid (all (R,) batched).
+
+    tri_data: dict with emissive triangle geometry in *segment order*:
+      em_v0/em_e1/em_e2 (E,3), em_n (E,3) geometric normals.
+
+    Returns dict: Li (R,3), wi (R,3), pdf (R,), shadow_mint, shadow_maxt,
+    is_delta (R,), dist (R,).
+    """
+    ltype = lights["type"][lid]
+    lcolor = lights["color"][lid]
+    lpos = lights["position"][lid]
+    ldir = lights["direction"][lid]
+
+    # --- point / spot: direction to the position
+    to_l = lpos - p
+    dist2 = jnp.maximum(vm.squared_length(to_l), 1e-20)
+    dist = jnp.sqrt(dist2)
+    wi_pos = to_l / dist[..., None]
+    li_point = lcolor / dist2[..., None]
+    li_spot = li_point * spot_falloff(lights, lid, -wi_pos)[..., None]
+
+    # --- directional
+    wi_dir = -ldir
+
+    # --- area: pick a triangle in the light's segment by area cdf
+    seg0 = lights["seg_start"][lid]
+    seg1 = lights["seg_start"][lid + 1]
+    E = lights["em_cdf"].shape[0]
+    if E > 0:
+        # searchsorted within segment via masked compare-all
+        e_idx = jnp.arange(E)
+        in_seg = (e_idx[None, :] >= seg0[..., None]) & (
+            e_idx[None, :] < seg1[..., None]
+        )
+        below = in_seg & (lights["em_cdf"][None, :] < u1[..., None])
+        tri = jnp.clip(
+            seg0 + jnp.sum(below.astype(jnp.int32), axis=-1), 0, E - 1
+        )
+        # stratified re-use of u1 within the chosen cell keeps it uniform
+        v0 = tri_data["em_v0"][tri]
+        e1 = tri_data["em_e1"][tri]
+        e2 = tri_data["em_e2"][tri]
+        n = tri_data["em_n"][tri]
+        bu, bv = sp.uniform_sample_triangle(u1, u2)
+        ps = v0 + bu[..., None] * e1 + bv[..., None] * e2
+        to_s = ps - p
+        d2 = jnp.maximum(vm.squared_length(to_s), 1e-20)
+        dist_a = jnp.sqrt(d2)
+        wi_area = to_s / dist_a[..., None]
+        cos_l = vm.dot(n, -wi_area)
+        total_area = lights["area"][lid]
+        # solid-angle pdf: r^2 / (|cos| * A_total) (reference
+        # Geometry::pdf, src/GoblinGeometry.cpp:44-62)
+        pdf_area = d2 / jnp.maximum(jnp.abs(cos_l) * total_area, 1e-12)
+        # one-sided emission
+        li_area = jnp.where((cos_l > 0.0)[..., None], lcolor, 0.0)
+    else:
+        tri = jnp.zeros_like(lid)
+        wi_area = wi_pos
+        li_area = jnp.zeros_like(li_point)
+        pdf_area = jnp.ones_like(dist)
+        dist_a = dist
+
+    is_point = ltype == LIGHT_POINT
+    is_dir = ltype == LIGHT_DIRECTIONAL
+    is_spot = ltype == LIGHT_SPOT
+    is_area = ltype == LIGHT_AREA
+
+    wi = jnp.where(
+        is_area[..., None],
+        wi_area,
+        jnp.where(is_dir[..., None], jnp.broadcast_to(wi_dir, wi_pos.shape), wi_pos),
+    )
+    Li = jnp.where(
+        is_point[..., None],
+        li_point,
+        jnp.where(
+            is_spot[..., None],
+            li_spot,
+            jnp.where(is_dir[..., None], jnp.broadcast_to(lcolor, li_point.shape),
+                      li_area),
+        ),
+    )
+    pdf = jnp.where(is_area, pdf_area, 1.0)
+    shadow_maxt = jnp.where(
+        is_dir,
+        jnp.full_like(dist, 3.0e37),
+        jnp.where(is_area, dist_a - eps, dist - eps),
+    )
+    is_delta = is_point | is_dir | is_spot
+    return {
+        "Li": Li,
+        "wi": wi,
+        "pdf": pdf,
+        "shadow_maxt": shadow_maxt,
+        "is_delta": is_delta,
+        "dist": jnp.where(is_area, dist_a, dist),
+    }
+
+
+def pdf_li(lights, lid, p, wi, hit_t, hit_cos, hit_light):
+    """Solid-angle pdf that light lid generates direction wi from p, given
+    the BSDF ray's actual hit (t, |cos| at the light, hit light id).
+
+    Used for MIS on the BSDF-sampling side: non-delta lights only. For
+    area lights the pdf is r^2/(|cos| A); 0 when the hit isn't this light.
+    """
+    ltype = lights["type"][lid]
+    is_area = ltype == LIGHT_AREA
+    total_area = lights["area"][lid]
+    pdf_area = (hit_t * hit_t) / jnp.maximum(
+        jnp.abs(hit_cos) * total_area, 1e-12
+    )
+    ok = is_area & (hit_light == lid)
+    return jnp.where(ok, pdf_area, 0.0)

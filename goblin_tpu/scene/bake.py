@@ -1,0 +1,337 @@
+"""Scene bake: host-side scene graph -> flat device-resident SoA arrays.
+
+This is the TPU-first replacement for the reference's pointer-based scene
+graph (Scene/Primitive/Model/InstancedPrimitive, src/GoblinScene.cpp,
+GoblinPrimitive.cpp, GoblinModel.cpp): instancing is *flattened at bake
+time* — triangles are transformed to world space (normals by
+inverse-transpose) and ONE global BVH is built over the whole soup,
+replacing the reference's two-level per-model BVHs + per-ray inverse
+transforms. Materials/lights become type-id + parameter tables; the
+polymorphic Texture tree becomes a static texture program.
+
+Outputs:
+- scene:  dict of jnp arrays (a pytree — safe to pass through jit/pjit)
+- meta:   SceneMeta with static python config (closed over by jitted code)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.bvh import build_bvh
+from ..camera.camera import CameraSpec
+from ..lights.lights import LIGHT_AREA, LightsBuild, bake_lights
+from ..shading.bsdf import (
+    MAT_BLINN,
+    MAT_LAMBERT,
+    MAT_MASK,
+    MAT_MIRROR,
+    MAT_SUBSURFACE,
+    MAT_TRANSPARENT,
+)
+from ..shading.textures import TexSpec, TextureSystem
+
+
+@dataclass
+class MatSpec:
+    """Host-side material description."""
+
+    kind: int = MAT_LAMBERT
+    tex_c0: int = 0  # Kd / Kg / Kr (color texture id)
+    tex_c1: int = 0  # Kt / transparent_color
+    tex_f0: int = 0  # exponent (float texture id)
+    tex_f1: int = 0  # alpha
+    eta: float = 1.5
+    k: float = -1.0
+    inner: int = -1  # mask: wrapped material row
+    # subsurface extras (absorb / scatter_prime and g) for BSSRDF
+    absorb: tuple = (0.0, 0.0, 0.0)
+    scatter_prime: tuple = (0.0, 0.0, 0.0)
+    g: float = 0.0
+    bump_tex: int = -1
+    normal_tex: int = -1
+
+
+@dataclass
+class InstanceRecord:
+    geometry: object  # TriangleMesh | ("sphere", r) | ("disk", r)
+    material: int  # material row
+    to_world: np.ndarray  # (4,4)
+    area_light: int = -1  # light row or -1
+    is_camera_lens: bool = False
+
+
+@dataclass
+class SceneMeta:
+    camera: CameraSpec = None
+    settings: dict = field(default_factory=dict)
+    n_tris: int = 0
+    n_nodes: int = 0
+    n_materials: int = 0
+    n_lights: int = 0
+    n_spheres: int = 0
+    texture_system: TextureSystem = None
+    float_texture_system: TextureSystem = None
+    max_leaf: int = 4
+    has_env: bool = False
+    env_light_id: int = -1
+    output_path: str = "goblin.exr"
+
+
+def _transform_mesh(mesh, m):
+    """Apply 4x4 to a TriangleMesh -> (v (V,3), n (V,3)|None, uv)."""
+    v = mesh.positions @ m[:3, :3].T + m[:3, 3]
+    n = None
+    if mesh.normals is not None:
+        inv_t = np.linalg.inv(m[:3, :3]).T
+        n = mesh.normals @ inv_t.T
+        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / np.maximum(ln, 1e-20)
+    return v.astype(np.float32), (None if n is None else n.astype(np.float32)), mesh.uvs
+
+
+class SceneBuilder:
+    """Accumulates world-space primitives then bakes to device arrays."""
+
+    def __init__(self):
+        self.instances: list[InstanceRecord] = []
+        self.materials: list[MatSpec] = [MatSpec()]  # row 0: magenta-ish default
+        self.color_textures: list[TexSpec] = [
+            TexSpec(value=np.array([1.0, 0.0, 1.0], np.float32))  # error magenta
+        ]
+        self.float_textures: list[TexSpec] = [
+            TexSpec(value=np.array([0.5, 0.5, 0.5], np.float32))
+        ]
+        self.lights = LightsBuild()
+        self.camera: CameraSpec | None = None
+        self.settings: dict = {}
+        self.output_path = "goblin.exr"
+        self.env_light_id = -1
+        self.env_image = None
+        self.env_filter = np.ones(3, np.float32)
+        self.env_orientation = np.array([1.0, 0, 0, 0], np.float32)
+
+    # -- registration helpers ---------------------------------------------
+
+    def add_color_texture(self, spec: TexSpec) -> int:
+        self.color_textures.append(spec)
+        return len(self.color_textures) - 1
+
+    def add_float_texture(self, spec: TexSpec) -> int:
+        self.float_textures.append(spec)
+        return len(self.float_textures) - 1
+
+    def add_material(self, spec: MatSpec) -> int:
+        self.materials.append(spec)
+        return len(self.materials) - 1
+
+    def add_instance(self, rec: InstanceRecord):
+        self.instances.append(rec)
+
+    # -- bake --------------------------------------------------------------
+
+    def bake(self, max_leaf: int = 4):
+        tri_v = [np.zeros((0, 3, 3), np.float32)]
+        tri_n = [np.zeros((0, 3, 3), np.float32)]
+        tri_uv = [np.zeros((0, 3, 2), np.float32)]
+        tri_mat = [np.zeros(0, np.int32)]
+        tri_light = [np.zeros(0, np.int32)]
+        spheres = []  # (center, radius, mat, light)
+
+        for rec in self.instances:
+            if rec.is_camera_lens:
+                continue
+            g = rec.geometry
+            if isinstance(g, tuple) and g[0] == "sphere":
+                m = rec.to_world
+                center = m[:3, 3].copy()
+                s = np.linalg.norm(m[:3, 0])
+                spheres.append((center, float(g[1]) * float(s), rec.material,
+                                rec.area_light))
+                continue
+            if isinstance(g, tuple) and g[0] == "disk":
+                # tessellate disks into a triangle fan (64 wedges): disks
+                # appear as area-light geometry and camera lenses; fan
+                # tessellation keeps one uniform triangle path on device
+                r = float(g[1])
+                k = 64
+                ang = np.linspace(0, 2 * np.pi, k + 1)
+                pts = np.stack(
+                    [r * np.cos(ang), r * np.sin(ang), np.zeros(k + 1)], axis=-1
+                ).astype(np.float32)
+                v = np.zeros((k, 3, 3), np.float32)
+                v[:, 1] = pts[:-1]
+                v[:, 2] = pts[1:]
+                m = rec.to_world
+                v = v @ m[:3, :3].T + m[:3, 3]
+                n = np.linalg.inv(m[:3, :3]).T @ np.array([0, 0, 1.0], np.float32)
+                n = n / np.linalg.norm(n)
+                tri_v.append(v.astype(np.float32))
+                tri_n.append(np.broadcast_to(n, (k, 3, 3)).astype(np.float32))
+                tri_uv.append(np.zeros((k, 3, 2), np.float32))
+                tri_mat.append(np.full(k, rec.material, np.int32))
+                tri_light.append(np.full(k, rec.area_light, np.int32))
+                continue
+            # mesh
+            v, n, uv = _transform_mesh(g, rec.to_world)
+            f = g.faces
+            fv = v[f]  # (F, 3, 3)
+            if n is not None:
+                fn = n[f]
+            else:
+                e1 = fv[:, 1] - fv[:, 0]
+                e2 = fv[:, 2] - fv[:, 0]
+                gn = np.cross(e1, e2)
+                gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+                fn = np.repeat(gn[:, None, :], 3, axis=1)
+            if uv is not None:
+                fuv = uv[f]
+            else:
+                # reference default uvs (0,0) (1,0) (0,1)
+                fuv = np.broadcast_to(
+                    np.array([[0, 0], [1, 0], [0, 1]], np.float32), (f.shape[0], 3, 2)
+                ).copy()
+            tri_v.append(fv.astype(np.float32))
+            tri_n.append(fn.astype(np.float32))
+            tri_uv.append(fuv.astype(np.float32))
+            tri_mat.append(np.full(f.shape[0], rec.material, np.int32))
+            tri_light.append(np.full(f.shape[0], rec.area_light, np.int32))
+
+        V = np.concatenate(tri_v)
+        N = np.concatenate(tri_n)
+        UV = np.concatenate(tri_uv)
+        MAT = np.concatenate(tri_mat)
+        LIGHT = np.concatenate(tri_light)
+        T = V.shape[0]
+        if T == 0:
+            # degenerate empty scene: one far-away dummy triangle
+            V = np.full((1, 3, 3), 1e30, np.float32)
+            V[0, 1, 0] += 1.0
+            V[0, 2, 1] += 1.0
+            N = np.broadcast_to(np.float32([0, 0, 1]), (1, 3, 3)).copy()
+            UV = np.zeros((1, 3, 2), np.float32)
+            MAT = np.zeros(1, np.int32)
+            LIGHT = np.full(1, -1, np.int32)
+            T = 1
+
+        bvh = build_bvh(V[:, 0], V[:, 1], V[:, 2], max_leaf=max_leaf)
+        order = bvh.order
+        V, N, UV, MAT, LIGHT = V[order], N[order], UV[order], MAT[order], LIGHT[order]
+
+        # world bounds for directional/IBL emission + auto radii
+        bmin = V.reshape(-1, 3).min(axis=0)
+        bmax = V.reshape(-1, 3).max(axis=0)
+        world_center = 0.5 * (bmin + bmax)
+        # reference BBox::getBoundingSphere uses the *full* diagonal length
+        # as radius (src/GoblinBBox.h:51-54)
+        world_radius = float(np.linalg.norm(bmax - bmin)) or 1.0
+
+        # emissive triangle segments ordered by light id
+        em_order = np.argsort(LIGHT + (LIGHT < 0) * (1 << 30), kind="stable")
+        em_sel = em_order[LIGHT[em_order] >= 0]
+        em_v = V[em_sel]
+        e1 = em_v[:, 1] - em_v[:, 0]
+        e2 = em_v[:, 2] - em_v[:, 0]
+        em_n = np.cross(e1, e2)
+        em_area = 0.5 * np.linalg.norm(em_n, axis=-1)
+        em_n = em_n / np.maximum(np.linalg.norm(em_n, axis=-1, keepdims=True), 1e-20)
+
+        # per-light world areas for area lights
+        areas = np.zeros(max(1, len(self.lights.types)), np.float32)
+        for i, t in enumerate(self.lights.types):
+            if t == LIGHT_AREA:
+                areas[i] = em_area[LIGHT[em_sel] == i].sum()
+        self.lights.areas = list(areas[: len(self.lights.types)])
+
+        env_power = 0.0
+        if self.env_light_id >= 0 and self.env_image is not None:
+            # mean luminance * disk area approx (reference IBL power uses
+            # bounding sphere: Lmean * pi * r^2)
+            img = self.env_image
+            lum = 0.212671 * img[..., 0] + 0.715160 * img[..., 1] + 0.072169 * img[..., 2]
+            env_power = float(lum.mean() * np.pi * world_radius ** 2)
+
+        lights = bake_lights(
+            self.lights, LIGHT[em_sel], em_area, world_center, world_radius,
+            env_luminance_power=env_power,
+        )
+
+        tex_sys = TextureSystem(self.color_textures)
+        ftex_sys = TextureSystem(self.float_textures)
+
+        M = len(self.materials)
+        scene = {
+            "node_bounds": jnp.asarray(bvh.bounds),
+            "node_meta": jnp.asarray(bvh.meta),
+            "tri_soup": jnp.asarray(
+                np.concatenate(
+                    [V[:, 0], V[:, 1] - V[:, 0], V[:, 2] - V[:, 0]], axis=-1
+                )
+            ),
+            "tri_n": jnp.asarray(N),
+            "tri_uv": jnp.asarray(UV),
+            "tri_mat": jnp.asarray(MAT),
+            "tri_light": jnp.asarray(LIGHT),
+            "mat_type": jnp.asarray(
+                np.asarray([m.kind for m in self.materials], np.int32)
+            ),
+            "mat_tex_c0": jnp.asarray(
+                np.asarray([m.tex_c0 for m in self.materials], np.int32)
+            ),
+            "mat_tex_c1": jnp.asarray(
+                np.asarray([m.tex_c1 for m in self.materials], np.int32)
+            ),
+            "mat_tex_f0": jnp.asarray(
+                np.asarray([m.tex_f0 for m in self.materials], np.int32)
+            ),
+            "mat_tex_f1": jnp.asarray(
+                np.asarray([m.tex_f1 for m in self.materials], np.int32)
+            ),
+            "mat_eta": jnp.asarray(
+                np.asarray([m.eta for m in self.materials], np.float32)
+            ),
+            "mat_k": jnp.asarray(np.asarray([m.k for m in self.materials], np.float32)),
+            "mat_inner": jnp.asarray(
+                np.asarray([m.inner for m in self.materials], np.int32)
+            ),
+            "lights": lights,
+            "em_v0": jnp.asarray(em_v[:, 0] if em_sel.size else np.zeros((0, 3), np.float32)),
+            "em_e1": jnp.asarray(e1 if em_sel.size else np.zeros((0, 3), np.float32)),
+            "em_e2": jnp.asarray(e2 if em_sel.size else np.zeros((0, 3), np.float32)),
+            "em_n": jnp.asarray(em_n if em_sel.size else np.zeros((0, 3), np.float32)),
+            "tex_atlas": tex_sys.atlas,
+            "ftex_atlas": ftex_sys.atlas,
+        }
+        if spheres:
+            scene["sph_center"] = jnp.asarray(
+                np.stack([s[0] for s in spheres]).astype(np.float32)
+            )
+            scene["sph_radius"] = jnp.asarray(
+                np.asarray([s[1] for s in spheres], np.float32)
+            )
+            scene["sph_mat"] = jnp.asarray(
+                np.asarray([s[2] for s in spheres], np.int32)
+            )
+            scene["sph_light"] = jnp.asarray(
+                np.asarray([s[3] for s in spheres], np.int32)
+            )
+
+        meta = SceneMeta(
+            camera=self.camera,
+            settings=dict(self.settings),
+            n_tris=T,
+            n_nodes=bvh.num_nodes,
+            n_materials=M,
+            n_lights=len(self.lights.types),
+            n_spheres=len(spheres),
+            texture_system=tex_sys,
+            float_texture_system=ftex_sys,
+            max_leaf=max_leaf,
+            has_env=self.env_light_id >= 0,
+            env_light_id=self.env_light_id,
+            output_path=self.output_path,
+        )
+        return scene, meta

@@ -1,0 +1,152 @@
+"""Wavefront scene intersection: BVH trace + analytic prims + hit refine.
+
+The reference's Scene::intersect returns a full Intersection object per
+ray recursively (src/GoblinScene.cpp:75-95). Here the whole ray batch is
+traced (accel/traverse), analytic spheres are tested densely, and a
+*refine* stage gathers per-triangle shading data to build the batched
+fragment dict — the wavefront analogue of Fragment
+(src/GoblinGeometry.h:13-130):
+
+    frag = {p, ns, ng, uv, dpdu, mat, light, eps, hit, t, wo}
+
+Epsilon conventions: hit eps = 1e-3 * t (src/GoblinTriangle.cpp:84).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..accel.traverse import trace, occluded as bvh_occluded
+from ..core import vecmath as vm
+from ..geometry.intersect import BIG_T, intersect_sphere
+from .bake import SceneMeta
+
+HIT_EPS_SCALE = 1e-3
+
+
+def _sphere_pass(scene, o, d, mint, cur_t):
+    """Dense test against analytic spheres; returns (hit_id, t) with
+    hit_id = -1 when no sphere beats cur_t."""
+    S = scene["sph_center"].shape[0]
+    best_t = cur_t
+    best = jnp.full(o.shape[:-1], -1, jnp.int32)
+    for s in range(S):  # S is small and static
+        hit, t = intersect_sphere(
+            o, d, scene["sph_center"][s], scene["sph_radius"][s], mint, best_t
+        )
+        upd = hit & (t < best_t)
+        best_t = jnp.where(upd, t, best_t)
+        best = jnp.where(upd, s, best)
+    return best, best_t
+
+
+def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
+    """Closest-hit over the whole scene. Returns the fragment dict."""
+    res = trace(
+        scene["node_bounds"], scene["node_meta"], scene["tri_soup"],
+        o, d, mint, maxt, max_leaf=meta.max_leaf,
+    )
+    t = res.t
+    tri = res.tri
+    b1, b2 = res.b1, res.b2
+    hit = res.hit
+
+    sph_id = None
+    if meta.n_spheres > 0:
+        sph_id, t2 = _sphere_pass(scene, o, d, mint, t)
+        sph_hit = sph_id >= 0
+        hit = hit | sph_hit
+        t = jnp.where(sph_hit, t2, t)
+    else:
+        sph_hit = jnp.zeros_like(hit)
+
+    # --- refine triangles
+    tri_c = jnp.maximum(tri, 0)
+    soup = jnp.take(scene["tri_soup"], tri_c, axis=0)
+    v0, e1, e2 = soup[..., 0:3], soup[..., 3:6], soup[..., 6:9]
+    p = o + t[..., None] * d
+    b0 = 1.0 - b1 - b2
+    n_rows = jnp.take(scene["tri_n"], tri_c, axis=0)  # (R, 3, 3)
+    ns_tri = vm.normalize(
+        b0[..., None] * n_rows[..., 0, :]
+        + b1[..., None] * n_rows[..., 1, :]
+        + b2[..., None] * n_rows[..., 2, :],
+        eps=1e-30,
+    )
+    ng_tri = vm.normalize(jnp.cross(e1, e2), eps=1e-30)
+    uv_rows = jnp.take(scene["tri_uv"], tri_c, axis=0)  # (R, 3, 2)
+    uv_tri = (
+        b0[..., None] * uv_rows[..., 0, :]
+        + b1[..., None] * uv_rows[..., 1, :]
+        + b2[..., None] * uv_rows[..., 2, :]
+    )
+    # dpdu from the uv edge matrix (src/GoblinTriangle.cpp:107-122)
+    du1 = uv_rows[..., 1, 0] - uv_rows[..., 0, 0]
+    dv1 = uv_rows[..., 1, 1] - uv_rows[..., 0, 1]
+    du2 = uv_rows[..., 2, 0] - uv_rows[..., 0, 0]
+    dv2 = uv_rows[..., 2, 1] - uv_rows[..., 0, 1]
+    det = du1 * dv2 - dv1 * du2
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    dpdu_tri = inv_det[..., None] * (dv2[..., None] * e1 - dv1[..., None] * e2)
+    degenerate = jnp.abs(det) < 1e-20
+    fallback, _ = vm.coordinate_system(ns_tri)
+    dpdu_tri = jnp.where(degenerate[..., None], fallback, dpdu_tri)
+    mat_tri = jnp.take(scene["tri_mat"], tri_c)
+    light_tri = jnp.take(scene["tri_light"], tri_c)
+
+    if meta.n_spheres > 0:
+        sc = jnp.take(scene["sph_center"], jnp.maximum(sph_id, 0), axis=0)
+        sr = jnp.take(scene["sph_radius"], jnp.maximum(sph_id, 0))
+        ns_s = vm.normalize(p - sc, eps=1e-30)
+        # spherical uv (phi/2pi, theta/pi) and dpdu along longitude
+        phi = vm.spherical_phi(ns_s)
+        theta = vm.spherical_theta(ns_s)
+        uv_s = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], axis=-1)
+        dpdu_s = jnp.stack(
+            [-ns_s[..., 1], ns_s[..., 0], jnp.zeros_like(phi)], axis=-1
+        )
+        dpdu_s = jnp.where(
+            vm.squared_length(dpdu_s)[..., None] < 1e-12,
+            vm.coordinate_system(ns_s)[0],
+            dpdu_s,
+        )
+        m = sph_hit[..., None]
+        ns = jnp.where(m, ns_s, ns_tri)
+        ng = jnp.where(m, ns_s, ng_tri)
+        uv = jnp.where(m, uv_s, uv_tri)
+        dpdu = jnp.where(m, dpdu_s, dpdu_tri)
+        mat = jnp.where(sph_hit, jnp.take(scene["sph_mat"], jnp.maximum(sph_id, 0)),
+                        mat_tri)
+        light = jnp.where(
+            sph_hit, jnp.take(scene["sph_light"], jnp.maximum(sph_id, 0)), light_tri
+        )
+    else:
+        ns, ng, uv, dpdu, mat, light = (
+            ns_tri, ng_tri, uv_tri, dpdu_tri, mat_tri, light_tri
+        )
+
+    return {
+        "hit": hit,
+        "t": t,
+        "p": p,
+        "ns": ns,
+        "ng": ng,
+        "uv": uv,
+        "dpdu": dpdu,
+        "mat": jnp.where(hit, mat, 0),
+        "light": jnp.where(hit, light, -1),
+        "eps": HIT_EPS_SCALE * jnp.where(hit, t, 1.0),
+        "wo": -d,
+    }
+
+
+def occluded(scene, meta: SceneMeta, o, d, mint, maxt):
+    """Any-hit shadow query over triangles + spheres."""
+    occ = bvh_occluded(
+        scene["node_bounds"], scene["node_meta"], scene["tri_soup"],
+        o, d, mint, maxt, max_leaf=meta.max_leaf,
+    )
+    if meta.n_spheres > 0:
+        sph_id, _ = _sphere_pass(scene, o, d, mint, maxt)
+        occ = occ | (sph_id >= 0)
+    return occ
