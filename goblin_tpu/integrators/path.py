@@ -1,0 +1,240 @@
+"""Unidirectional path tracer with NEE + MIS, in wavefront form.
+
+Faithful batched re-derivation of the reference PT
+(src/GoblinPathtracer.cpp:50-208):
+- per bounce: one power-CDF light pick, one NEE shadow ray with MIS
+  (power heuristic; no MIS for delta lights), one BSDF continuation
+  sample whose hit doubles as the BSDF-side MIS light contribution
+- specular lobes skip the light-sample side and take full weight on the
+  BSDF side (fWeight = 1)
+- Le added at the primary hit; env light on primary miss; env via the
+  picked light's Le on BSDF-ray miss scaled by the MIS weight
+- NO Russian roulette: fixed max_ray_depth - 1 bounces (parity)
+- inactive lanes are masked, the bounce loop is a lax.fori_loop (one
+  compiled body, static shapes)
+
+Differences vs reference (documented): the index-matched BSDF_NULL
+punch-through uses the regular intersect (no IntersectFilter fast path)
+— the null lobe is treated as a regular continuation which consumes a
+bounce, matching the reference's `continue` (which also advances the
+bounce counter).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..core.rng import hash_uniform
+from ..core.sampling import power_heuristic
+from ..lights import lights as lt
+from ..scene import intersect as scn
+from ..shading import bsdf as bx
+from .common import DIM_BASE
+from .materials import gather_material
+
+# per-bounce dimension layout
+DIM_PICK = DIM_BASE + 0
+DIM_LIGHT_U1 = DIM_BASE + 1
+DIM_LIGHT_U2 = DIM_BASE + 2
+DIM_BSDF_U1 = DIM_BASE + 3
+DIM_BSDF_U2 = DIM_BASE + 4
+DIM_BSDF_COMP = DIM_BASE + 5
+
+
+def _em_tri_data(scene):
+    return {
+        "em_v0": scene["em_v0"],
+        "em_e1": scene["em_e1"],
+        "em_e2": scene["em_e2"],
+        "em_n": scene["em_n"],
+    }
+
+
+def _area_light_Le(scene, frag, wo):
+    """Emission toward wo from the hit point, one-sided
+    (reference AreaLight::L: dot(ns, w) > 0)."""
+    lid = frag["light"]
+    has = lid >= 0
+    Le = jnp.take(scene["lights"]["color"], jnp.maximum(lid, 0), axis=0)
+    facing = vm.dot(frag["ns"], wo) > 0.0
+    return jnp.where((has & facing)[..., None], Le, 0.0)
+
+
+def _env_le(scene, meta, d):
+    """Environment radiance for direction d (0 without an IBL)."""
+    if not meta.has_env:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    from ..lights import envmap
+
+    return envmap.eval_env(scene, meta, d)
+
+
+def make_li(meta, max_depth=None):
+    if max_depth is None:
+        max_depth = int(meta.settings.get("max_ray_depth", 5))
+
+    def li(scene, meta_, ray, pixel_ids, s_idx, seed):
+        lights = scene["lights"]
+        tri_data = _em_tri_data(scene)
+        R = ray["o"].shape[0]
+
+        frag = scn.intersect(
+            scene, meta, ray["o"], ray["d"], ray["mint"], ray["maxt"]
+        )
+        miss = ~frag["hit"]
+        L = jnp.where(miss[:, None], _env_le(scene, meta, ray["d"]), 0.0)
+        L = L + jnp.where(
+            frag["hit"][:, None], _area_light_Le(scene, frag, frag["wo"]), 0.0
+        )
+
+        if meta.n_lights == 0:
+            return L
+
+        def bounce_body(b, state):
+            L, throughput, frag, active = state
+            p = frag["p"]
+            ns = frag["ns"]
+            wo = frag["wo"]
+            eps = frag["eps"]
+            mat = gather_material(
+                scene, meta, frag,
+                u_mask=hash_uniform(seed, pixel_ids, s_idx, b, DIM_BSDF_COMP),
+            )
+
+            # ---- pick light by power CDF
+            u_pick = hash_uniform(seed, pixel_ids, s_idx, b, DIM_PICK)
+            lid, pick_pdf = lt.pick_light(lights, u_pick)
+
+            # ---- light-sample side (NEE)
+            u1 = hash_uniform(seed, pixel_ids, s_idx, b, DIM_LIGHT_U1)
+            u2 = hash_uniform(seed, pixel_ids, s_idx, b, DIM_LIGHT_U2)
+            ls = lt.sample_li(lights, tri_data, lid, p, eps, u1, u2)
+            if meta.has_env:
+                from ..lights import envmap
+
+                is_ibl_pick = lights["type"][lid] == lt.LIGHT_IBL
+                env_li, env_wi, env_pdf = envmap.sample_env(scene, meta, u1, u2)
+                ls["Li"] = jnp.where(is_ibl_pick[:, None], env_li, ls["Li"])
+                ls["wi"] = jnp.where(is_ibl_pick[:, None], env_wi, ls["wi"])
+                ls["pdf"] = jnp.where(is_ibl_pick, env_pdf, ls["pdf"])
+                ls["shadow_maxt"] = jnp.where(
+                    is_ibl_pick, 3.0e37, ls["shadow_maxt"]
+                )
+            f_l = bx.bsdf_eval(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
+            consider = (
+                active
+                & (ls["pdf"] > 0.0)
+                & jnp.any(ls["Li"] > 0.0, axis=-1)
+                & jnp.any(f_l > 0.0, axis=-1)
+            )
+            occ = scn.occluded(
+                scene, meta, p, ls["wi"], eps, ls["shadow_maxt"]
+            )
+            vis = consider & ~occ
+            bsdf_pdf_l = bx.bsdf_pdf(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
+            w_l = jnp.where(
+                ls["is_delta"],
+                1.0,
+                power_heuristic(1.0, ls["pdf"], 1.0, bsdf_pdf_l),
+            )
+            Ld = jnp.where(
+                vis[:, None],
+                f_l * ls["Li"] * (vm.absdot(ns, ls["wi"]) * w_l
+                                  / jnp.maximum(ls["pdf"], 1e-20))[:, None],
+                0.0,
+            )
+
+            # ---- BSDF-sample side: continuation ray + MIS light hit
+            bu1 = hash_uniform(seed, pixel_ids, s_idx, b, DIM_BSDF_U1)
+            bu2 = hash_uniform(seed, pixel_ids, s_idx, b, DIM_BSDF_U2)
+            bcomp = hash_uniform(seed, pixel_ids, s_idx, b, DIM_BSDF_COMP + 3)
+            bs = bx.bsdf_sample(
+                mat, ns, frag["dpdu"], wo, bu1, bu2, bcomp, bx.BSDF_ALL
+            )
+            wi = bs["wi"]
+            f_b = bs["f"]
+            pdf_b = bs["pdf"]
+            cont_ok = active & bs["valid"] & jnp.any(f_b > 0.0, axis=-1)
+
+            frag2 = scn.intersect(
+                scene, meta, p, wi,
+                jnp.where(cont_ok, eps, 1e-3),
+                jnp.full((R,), 3.0e37, jnp.float32),
+            )
+
+            # light pdf of the BSDF direction for MIS (area lights only)
+            cos_at_light = vm.dot(frag2["ns"], -wi)
+            pdf_l_of_b = lt.pdf_li(
+                lights, lid, p, wi, frag2["t"], cos_at_light, frag2["light"]
+            )
+            f_weight = jnp.where(
+                bs["is_specular"] | bs["is_null"],
+                1.0,
+                power_heuristic(1.0, pdf_b, 1.0, pdf_l_of_b),
+            )
+            # emission seen along the BSDF ray, only if it hit the picked
+            # light's geometry
+            hit_le = _area_light_Le(scene, frag2, -wi)
+            hit_is_picked = frag2["hit"] & (frag2["light"] == lid)
+            Ld_b = jnp.where(
+                (cont_ok & hit_is_picked)[:, None],
+                f_b * hit_le * (vm.absdot(wi, ns) * f_weight
+                                / jnp.maximum(pdf_b, 1e-20))[:, None],
+                0.0,
+            )
+            # env contribution on miss, via the picked light (IBL only);
+            # MIS against the env CDF2D pdf (reference ImageBasedLight::pdf)
+            if meta.has_env:
+                from ..lights import envmap
+
+                is_ibl = lights["type"][lid] == lt.LIGHT_IBL
+                env = _env_le(scene, meta, wi)
+                env_pdf_b = envmap.pdf_env(scene, meta, wi)
+                env_weight = jnp.where(
+                    bs["is_specular"] | bs["is_null"],
+                    1.0,
+                    power_heuristic(1.0, pdf_b, 1.0, env_pdf_b),
+                )
+                Ld_b = Ld_b + jnp.where(
+                    (cont_ok & ~frag2["hit"] & is_ibl)[:, None],
+                    f_b * env * (vm.absdot(wi, ns) * env_weight
+                                 / jnp.maximum(pdf_b, 1e-20))[:, None],
+                    0.0,
+                )
+
+            L = L + jnp.where(
+                active[:, None],
+                throughput * (Ld + Ld_b) / jnp.maximum(pick_pdf, 1e-20)[:, None],
+                0.0,
+            )
+
+            # ---- continue the walk
+            throughput = jnp.where(
+                cont_ok[:, None],
+                throughput * f_b * (vm.absdot(wi, ns)
+                                    / jnp.maximum(pdf_b, 1e-20))[:, None],
+                throughput,
+            )
+            active = cont_ok & frag2["hit"]
+            # keep the old fragment on lanes that went inactive (values
+            # are masked anyway); select leaf-wise
+            new_frag = jax.tree_util.tree_map(
+                lambda a, b_: jnp.where(
+                    active.reshape(active.shape + (1,) * (a.ndim - 1)), b_, a
+                ),
+                frag, frag2,
+            )
+            return L, throughput, new_frag, active
+
+        init = (
+            L,
+            jnp.ones((R, 3), jnp.float32),
+            frag,
+            frag["hit"],
+        )
+        L, _, _, _ = jax.lax.fori_loop(0, max_depth - 1, bounce_body, init)
+        return L
+
+    return li

@@ -232,6 +232,7 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
     is_dir = ltype == LIGHT_DIRECTIONAL
     is_spot = ltype == LIGHT_SPOT
     is_area = ltype == LIGHT_AREA
+    is_ibl = ltype == LIGHT_IBL
 
     wi = jnp.where(
         is_area[..., None],
@@ -248,6 +249,10 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
                       li_area),
         ),
     )
+    # IBL NEE sampling is handled by the env CDF2D path (integrators/
+    # envmap.py); until a lane routes there, IBL lanes contribute 0 on the
+    # light-sample side and the BSDF side takes full MIS weight — unbiased.
+    Li = jnp.where(is_ibl[..., None], 0.0, Li)
     pdf = jnp.where(is_area, pdf_area, 1.0)
     shadow_maxt = jnp.where(
         is_dir,

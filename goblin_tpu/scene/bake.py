@@ -305,6 +305,13 @@ class SceneBuilder:
             "tex_atlas": tex_sys.atlas,
             "ftex_atlas": ftex_sys.atlas,
         }
+        if self.env_light_id >= 0 and self.env_image is not None:
+            from ..lights.envmap import bake_env
+
+            scene["env"] = bake_env(
+                self.env_image, self.env_filter, self.env_orientation
+            )
+
         if spheres:
             scene["sph_center"] = jnp.asarray(
                 np.stack([s[0] for s in spheres]).astype(np.float32)

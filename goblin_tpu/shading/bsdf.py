@@ -304,8 +304,9 @@ def bsdf_sample(mat, ns, dpdu, wo, u1, u2, u_comp, type_mask,
     # (reference TransparentMaterial::sampleBSDF nMatch==2 branch:
     # reflectChance = F/cosr * |wi.n| = F)
     reflect_chance = reflect_scale_dielectric * vm.absdot(wi_reflect, ns)
-    want_reflect = match_type(type_mask, BSDF_SPECULAR | BSDF_REFLECTION)
-    want_refract = match_type(type_mask, BSDF_SPECULAR | BSDF_TRANSMISSION)
+    # normalize to arrays: type_mask may be a static python int
+    want_reflect = jnp.asarray(match_type(type_mask, BSDF_SPECULAR | BSDF_REFLECTION))
+    want_refract = jnp.asarray(match_type(type_mask, BSDF_SPECULAR | BSDF_TRANSMISSION))
     both = want_reflect & want_refract
     do_reflect = jnp.where(
         both, u_comp < reflect_chance, want_reflect
