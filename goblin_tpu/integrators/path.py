@@ -92,7 +92,7 @@ def make_li(meta, max_depth=None):
         if meta.n_lights == 0:
             return L
 
-        def bounce_body(b, state):
+        def bounce_body(state, b):
             L, throughput, frag, active = state
             p = frag["p"]
             ns = frag["ns"]
@@ -226,7 +226,7 @@ def make_li(meta, max_depth=None):
                 ),
                 frag, frag2,
             )
-            return L, throughput, new_frag, active
+            return (L, throughput, new_frag, active), None
 
         init = (
             L,
@@ -234,7 +234,11 @@ def make_li(meta, max_depth=None):
             frag,
             frag["hit"],
         )
-        L, _, _, _ = jax.lax.fori_loop(0, max_depth - 1, bounce_body, init)
+        # scan (not fori_loop) so the bounce loop is reverse-mode
+        # differentiable for the gradient path
+        (L, _, _, _), _ = jax.lax.scan(
+            bounce_body, init, jnp.arange(max_depth - 1)
+        )
         return L
 
     return li

@@ -47,7 +47,7 @@ def make_li(meta, max_depth=None):
         if meta.n_lights == 0:
             return L
 
-        def bounce_body(b, state):
+        def bounce_body(state, b):
             L, throughput, frag, active = state
             p, ns, wo, eps = frag["p"], frag["ns"], frag["wo"], frag["eps"]
             mat = gather_material(
@@ -120,10 +120,12 @@ def make_li(meta, max_depth=None):
                 ),
                 frag, frag2,
             )
-            return L, throughput, new_frag, active
+            return (L, throughput, new_frag, active), None
 
         init = (L, jnp.ones((R, 3), jnp.float32), frag, frag["hit"])
-        L, _, _, _ = jax.lax.fori_loop(0, max_depth - 1, bounce_body, init)
+        (L, _, _, _), _ = jax.lax.scan(
+            bounce_body, init, jnp.arange(max_depth - 1)
+        )
         return L
 
     return li

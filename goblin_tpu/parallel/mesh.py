@@ -1,0 +1,157 @@
+"""Device-mesh sharding of the render wavefront.
+
+The reference scales by std::thread over image tiles in one process
+(src/GoblinThreadPool.cpp, SURVEY.md §2.9). Here the scaling axis is the
+ray wavefront: pixel batches are sharded over a 1-D ``rays`` mesh axis
+(data parallel), the scene SoA is replicated, film splats land in
+replicated film arrays (XLA inserts the cross-device reduction), and
+parameter gradients are combined by the same GSPMD partitioner — over ICI
+on a real slice, over the fake CPU mesh in tests.
+
+On multi-host slices the same mesh spans hosts via
+jax.distributed.initialize(); nothing here changes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..camera import film as film_mod
+from ..core.rng import hash_uniform
+from ..integrators import common
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Place every scene array replicated on the mesh."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), scene)
+
+
+def make_sharded_render_step(scene, meta, li_fn, mesh: Mesh,
+                             axis: str = "rays"):
+    """-> (step_fn, sharded_scene). step_fn(color, weight, pixel_ids,
+    valid, s_idx) renders one sharded chunk and accumulates into the
+    (replicated) film arrays."""
+    cam = meta.camera
+    spec = cam.film
+    seed = int(meta.settings.get("seed", 0))
+    n_grid = common.spp_grid(int(meta.settings.get("sample_per_pixel", 1)))
+    scene_sh = replicate_scene(scene, mesh)
+    ray_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+        in_shardings=(rep, rep, ray_sh, ray_sh, None),
+        out_shardings=(rep, rep),
+    )
+    def step(color, weight, pixel_ids, valid, s_idx):
+        x, y = common.pixel_samples(seed, pixel_ids, spec.x_res, s_idx, n_grid)
+        lu = hash_uniform(seed, pixel_ids, s_idx, common.BOUNCE_CAMERA,
+                          common.DIM_LENS_U)
+        lv = hash_uniform(seed, pixel_ids, s_idx, common.BOUNCE_CAMERA,
+                          common.DIM_LENS_V)
+        ray = cam.generate_ray(x, y, lu, lv)
+        L = li_fn(scene_sh, meta, ray, pixel_ids, s_idx, seed)
+        L = jnp.where(valid[:, None], L, jnp.nan)
+        return film_mod.splat(spec, color, weight, x, y, L)
+
+    return step, scene_sh
+
+
+def render_sharded(scene, meta, li_fn, mesh: Mesh, spp=None,
+                   chunk_size=1 << 15, axis: str = "rays"):
+    """Full sharded render (the multi-chip analogue of
+    integrators.common.render)."""
+    spec = meta.camera.film
+    if spp is None:
+        spp = int(meta.settings.get("sample_per_pixel", 1))
+    n_grid = common.spp_grid(spp)
+    n_spp = n_grid * n_grid
+    step, scene_sh = make_sharded_render_step(scene, meta, li_fn, mesh, axis)
+
+    n_dev = len(mesh.devices.reshape(-1))
+    chunk_size = max(n_dev, (chunk_size // n_dev) * n_dev)
+
+    xs_, xc, ys_, yc = spec.crop_window()
+    pixel_ids_all = (
+        (np.arange(ys_, ys_ + yc)[:, None] * spec.x_res
+         + np.arange(xs_, xs_ + xc)[None, :]).reshape(-1).astype(np.int32)
+    )
+    n_pix = pixel_ids_all.size
+    n_chunks = (n_pix + chunk_size - 1) // chunk_size
+    pad = n_chunks * chunk_size - n_pix
+    valid_all = np.ones(n_pix + pad, bool)
+    if pad:
+        pixel_ids_all = np.concatenate(
+            [pixel_ids_all, np.full(pad, pixel_ids_all[-1], np.int32)]
+        )
+        valid_all[n_pix:] = False
+
+    rep = NamedSharding(mesh, P())
+    ray_sh = NamedSharding(mesh, P(axis))
+    color, weight = film_mod.new_film(spec)
+    color = jax.device_put(color, rep)
+    weight = jax.device_put(weight, rep)
+    for s in range(n_spp):
+        for c in range(n_chunks):
+            sl = slice(c * chunk_size, (c + 1) * chunk_size)
+            color, weight = step(
+                color, weight,
+                jax.device_put(jnp.asarray(pixel_ids_all[sl]), ray_sh),
+                jax.device_put(jnp.asarray(valid_all[sl]), ray_sh),
+                jnp.int32(s),
+            )
+    return film_mod.to_image(color, weight, normalize=True)
+
+
+def make_sharded_train_step(scene, meta, li_fn, mesh: Mesh,
+                            axis: str = "rays"):
+    """Differentiable sharded step: grads of an image loss w.r.t. light
+    emission + the texture atlas (material colors), reduced across the
+    mesh by the partitioner — the renderer analogue of a DP training step
+    with gradient all-reduce over ICI."""
+    cam = meta.camera
+    spec = cam.film
+    seed = int(meta.settings.get("seed", 0))
+    scene_sh = replicate_scene(scene, mesh)
+    ray_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=((rep, rep), ray_sh, None),
+        out_shardings=(None, (rep, rep)),
+    )
+    def train_step(params, pixel_ids, s_idx):
+        light_color, tex_atlas = params
+
+        def loss_fn(lc, ta):
+            sc = dict(scene_sh)
+            sc["lights"] = dict(scene_sh["lights"])
+            sc["lights"]["color"] = lc
+            sc["tex_atlas"] = ta
+            x, y = common.pixel_samples(seed, pixel_ids, spec.x_res, s_idx, 1)
+            ray = cam.generate_ray(x, y)
+            L = li_fn(sc, meta, ray, pixel_ids, s_idx, seed)
+            return jnp.mean(L)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            light_color, tex_atlas
+        )
+        return loss, grads
+
+    return train_step, scene_sh

@@ -14,6 +14,7 @@ Epsilon conventions: hit eps = 1e-3 * t (src/GoblinTriangle.cpp:84).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..accel.traverse import trace, occluded as bvh_occluded
@@ -41,10 +42,21 @@ def _sphere_pass(scene, o, d, mint, cur_t):
 
 
 def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
-    """Closest-hit over the whole scene. Returns the fragment dict."""
+    """Closest-hit over the whole scene. Returns the fragment dict.
+
+    The discrete traversal decision (which triangle) is non-differentiable
+    and wrapped in stop_gradient; shading quantities are then recomputed
+    from gathered primitive data so VJPs flow through materials/lights
+    (SURVEY.md §7: differentiable layer — reparameterized visibility for
+    geometry gradients is future work).
+    """
     res = trace(
-        scene["node_bounds"], scene["node_meta"], scene["tri_soup"],
-        o, d, mint, maxt, max_leaf=meta.max_leaf,
+        jax.lax.stop_gradient(scene["node_bounds"]),
+        jax.lax.stop_gradient(scene["node_meta"]),
+        jax.lax.stop_gradient(scene["tri_soup"]),
+        jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+        jax.lax.stop_gradient(mint), jax.lax.stop_gradient(maxt),
+        max_leaf=meta.max_leaf,
     )
     t = res.t
     tri = res.tri
@@ -141,7 +153,10 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
 
 
 def occluded(scene, meta: SceneMeta, o, d, mint, maxt):
-    """Any-hit shadow query over triangles + spheres."""
+    """Any-hit shadow query over triangles + spheres. Visibility is a
+    discrete decision: inputs are detached so the traversal while_loop
+    never sits on the differentiation path."""
+    o, d, mint, maxt = (jax.lax.stop_gradient(v) for v in (o, d, mint, maxt))
     occ = bvh_occluded(
         scene["node_bounds"], scene["node_meta"], scene["tri_soup"],
         o, d, mint, maxt, max_leaf=meta.max_leaf,
