@@ -44,7 +44,28 @@ def build_bvh(
     max_leaf: int = 4,
     n_bins: int = 16,
 ) -> BVHArrays:
-    """Build from triangle vertex arrays (T, 3) each."""
+    """Build from triangle vertex arrays (T, 3) each.
+
+    Prefers the native C++ builder (native/bvh_builder.cpp) and falls back
+    to the pure-python implementation below when the library is absent.
+    """
+    from ..native import build_bvh as native_build
+
+    res = native_build(v0, v1, v2, max_leaf=max_leaf, n_bins=n_bins)
+    if res is not None:
+        bounds, meta, order = res
+        return BVHArrays(bounds=bounds, meta=meta, order=order)
+    return _build_bvh_python(v0, v1, v2, max_leaf, n_bins)
+
+
+def _build_bvh_python(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    max_leaf: int = 4,
+    n_bins: int = 16,
+) -> BVHArrays:
+    """Pure-python reference builder (slow; used when native is absent)."""
     T = v0.shape[0]
     tri_min = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     tri_max = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)

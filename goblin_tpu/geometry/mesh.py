@@ -53,7 +53,21 @@ def _resolve_index(raw: int, count: int) -> int:
 
 
 def load_obj(path: str) -> TriangleMesh:
-    """Parse an OBJ file into a deduplicated TriangleMesh."""
+    """Parse an OBJ file into a deduplicated TriangleMesh.
+
+    Prefers the native C++ parser (native/obj_loader.cpp); falls back to
+    the pure-python parser below.
+    """
+    from ..native import load_obj as native_load
+
+    mesh = native_load(path)
+    if mesh is not None:
+        return mesh
+    return _load_obj_python(path)
+
+
+def _load_obj_python(path: str) -> TriangleMesh:
+    """Pure-python OBJ parser (reference implementation)."""
     positions: list[tuple] = []
     normals: list[tuple] = []
     uvs: list[tuple] = []
