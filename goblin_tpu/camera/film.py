@@ -152,11 +152,14 @@ def new_film(spec: FilmSpec):
     )
 
 
-def splat(spec: FilmSpec, color, weight, x, y, L):
+def splat(spec: FilmSpec, color, weight, x, y, L, normalized=False):
     """Filter-splat a batch of samples into the film.
 
     x, y: (R,) continuous image coords; L: (R, 3) radiance.
     NaN samples are discarded (reference ImageTile::addSample NaN guard).
+    normalized=True divides weights by the filter integral (the
+    reference FilterTable bakes this in; it matters for splatting
+    integrators where the film is NOT weight-normalized).
     Returns updated (color, weight).
     """
     f = spec.filter
@@ -185,6 +188,11 @@ def splat(spec: FilmSpec, color, weight, x, y, L):
         & nan_ok[:, None, None]
     )
     w = jnp.where(inside, w, 0.0)
+    if normalized:
+        w = w / f.normalize_term()
+    # a masked weight of 0 times a NaN/inf sample is still NaN — zero the
+    # radiance itself on discarded lanes before the multiply
+    L = jnp.where(nan_ok[:, None], L, 0.0)
     flat_idx = (
         jnp.clip(py, 0, spec.y_res - 1) * spec.x_res + jnp.clip(px, 0, spec.x_res - 1)
     ).reshape(-1)

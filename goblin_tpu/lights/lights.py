@@ -270,6 +270,140 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
     }
 
 
+def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
+    """Photon-emission sampling (LT/BDPT/SPPM light-walk start).
+
+    Mirrors the reference samplePosition/sampleDirection pairs
+    (src/GoblinLight.cpp): point -> uniform sphere; directional -> world
+    bounding-sphere disk + fixed dir; spot -> uniform cone; area ->
+    area-uniform triangle point + cosine hemisphere.
+
+    Returns dict: p (R,3), n (R,3) (zeros for delta positions), dir
+    (R,3), pdf_pos (R,), pdf_dir (R,), is_delta (R,).
+    """
+    ltype = lights["type"][lid]
+    lpos = lights["position"][lid]
+    ldir = lights["direction"][lid]
+    wc = lights["world_center"]
+    wr = lights["world_radius"]
+
+    # point / spot position (delta)
+    p_point = jnp.broadcast_to(lpos, u_p1.shape + (3,))
+
+    # directional position: disk on the bounding sphere
+    x_ax, y_ax = vm.coordinate_system(ldir)
+    disk = sp.uniform_sample_disk(u_p1, u_p2)
+    p_dir = (
+        wc
+        + wr * (disk[..., 0:1] * x_ax + disk[..., 1:2] * y_ax)
+        - ldir * wr
+    )
+
+    # area position: triangle sample in the light's segment
+    seg0 = lights["seg_start"][lid]
+    seg1 = lights["seg_start"][lid + 1]
+    E = lights["em_cdf"].shape[0]
+    if E > 0:
+        e_idx = jnp.arange(E)
+        in_seg = (e_idx[None, :] >= seg0[..., None]) & (
+            e_idx[None, :] < seg1[..., None]
+        )
+        below = in_seg & (lights["em_cdf"][None, :] < u_p1[..., None])
+        tri = jnp.clip(seg0 + jnp.sum(below.astype(jnp.int32), axis=-1), 0,
+                       E - 1)
+        bu, bv = sp.uniform_sample_triangle(u_p1, u_p2)
+        p_area = (
+            tri_data["em_v0"][tri]
+            + bu[..., None] * tri_data["em_e1"][tri]
+            + bv[..., None] * tri_data["em_e2"][tri]
+        )
+        n_area = tri_data["em_n"][tri]
+    else:
+        p_area = p_point
+        n_area = jnp.broadcast_to(ldir, p_point.shape)
+
+    is_point = ltype == LIGHT_POINT
+    is_dir = ltype == LIGHT_DIRECTIONAL
+    is_spot = ltype == LIGHT_SPOT
+    is_area = ltype == LIGHT_AREA
+
+    p = jnp.where(
+        is_area[..., None], p_area,
+        jnp.where(is_dir[..., None], p_dir, p_point),
+    )
+    n = jnp.where(is_area[..., None], n_area, 0.0)
+    pdf_pos = jnp.where(
+        is_dir,
+        1.0 / (jnp.pi * wr * wr),
+        jnp.where(is_area, 1.0 / jnp.maximum(lights["area"][lid], 1e-20), 1.0),
+    )
+
+    # directions
+    d_sphere = sp.uniform_sample_sphere(u_d1, u_d2)
+    cone_local = sp.uniform_sample_cone(u_d1, u_d2,
+                                        lights["cos_theta_max"][lid])
+    lx, ly = vm.coordinate_system(ldir)
+    d_cone = (
+        cone_local[..., 0:1] * lx + cone_local[..., 1:2] * ly
+        + cone_local[..., 2:3] * ldir
+    )
+    cos_local = sp.cosine_sample_hemisphere(u_d1, u_d2)
+    ax, ay = vm.coordinate_system(n_area)
+    d_cos = (
+        cos_local[..., 0:1] * ax + cos_local[..., 1:2] * ay
+        + cos_local[..., 2:3] * n_area
+    )
+
+    d = jnp.where(
+        is_area[..., None], d_cos,
+        jnp.where(
+            is_dir[..., None], jnp.broadcast_to(ldir, d_sphere.shape),
+            jnp.where(is_spot[..., None], d_cone, d_sphere),
+        ),
+    )
+    pdf_dir = jnp.where(
+        is_point,
+        sp.uniform_sphere_pdf(),
+        jnp.where(
+            is_spot,
+            sp.uniform_cone_pdf(lights["cos_theta_max"][lid]),
+            jnp.where(
+                is_area,
+                jnp.maximum(cos_local[..., 2], 0.0) * (1.0 / jnp.pi),
+                1.0,
+            ),
+        ),
+    )
+    is_delta = is_point | is_dir | is_spot
+    return {
+        "p": p, "n": n, "dir": d,
+        "pdf_pos": pdf_pos, "pdf_dir": pdf_dir, "is_delta": is_delta,
+    }
+
+
+def eval_emission(lights, lid, n_light, wo):
+    """Emitted radiance/intensity toward wo (reference Light::eval)."""
+    ltype = lights["type"][lid]
+    lcolor = lights["color"][lid]
+    is_point = ltype == LIGHT_POINT
+    is_dir = ltype == LIGHT_DIRECTIONAL
+    is_spot = ltype == LIGHT_SPOT
+    is_area = ltype == LIGHT_AREA
+    ldir = lights["direction"][lid]
+    spot = spot_falloff(lights, lid, wo)[..., None] * lcolor
+    parallel = jnp.abs(vm.dot(wo, ldir) - 1.0) < 1e-5
+    dir_e = jnp.where(parallel[..., None], lcolor, 0.0)
+    area_e = jnp.where((vm.dot(n_light, wo) > 0.0)[..., None], lcolor, 0.0)
+    return jnp.where(
+        is_point[..., None], lcolor,
+        jnp.where(
+            is_spot[..., None], spot,
+            jnp.where(is_dir[..., None], dir_e,
+                      jnp.where(is_area[..., None], area_e, 0.0)),
+        ),
+    )
+
+
 def pdf_li(lights, lid, p, wi, hit_t, hit_cos, hit_light):
     """Solid-angle pdf that light lid generates direction wi from p, given
     the BSDF ray's actual hit (t, |cos| at the light, hit light id).
