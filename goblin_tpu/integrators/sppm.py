@@ -1,0 +1,381 @@
+"""Stochastic progressive photon mapping, wavefront form.
+
+Re-derivation of the reference SPPM (src/GoblinSPPM.cpp) with the mutable
+spatial hash grid (linked lists per cell, :197-304) replaced by a
+sort-based data-parallel grid:
+
+  per iteration
+    1. ray-trace pass: one camera path per pixel — direct lighting (one
+       light pick + NEE with MIS sharing the continuation ray) per
+       bounce, walk continues through non-diffuse lobes, the first
+       diffuse (or last) vertex is recorded as the pixel's visible point
+       (:327-389)
+    2. grid build: visible points insert (cell-hash, pixel) entries for
+       all cells their max-radius ball overlaps; entries are sorted by
+       hash and segmented (Teschner hash, cell = 2 * max radius, :240-276)
+    3. photon pass: light walks deposit into visible points of the
+       photon's cell (capped segment scan + scatter-add of Phi/Mi)
+       (:391-462)
+    4. radius/flux update, alpha = 0.7: N' = N + a*M,
+       R' = R*sqrt(N'/(N+M)), Tau' = (Tau + tp*Phi)(R'/R)^2 (:548-567)
+
+  final: L = Ld/iterations + Tau/(N_emitted * pi * R^2) (:586-600)
+
+The reference's per-pixel PermutedHalton sequences are replaced by the
+framework's stateless hash streams (bit-reproducible at any sharding);
+QMC variants can be layered later via core.sampling.permuted_radical_inverse.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import film as film_mod
+from ..core import vecmath as vm
+from ..core.rng import hash_uniform
+from ..core.sampling import power_heuristic
+from ..lights import lights as lt
+from ..scene import intersect as scn
+from ..shading import bsdf as bx
+from .common import DIM_BASE, pixel_samples, spp_grid
+from .materials import gather_material
+from .path import _area_light_Le, _em_tri_data, _env_le
+
+ALPHA = 0.7
+K_MAX = 32  # max visible points examined per photon cell
+
+
+def _hash_cells(cx, cy, cz, size):
+    h = (
+        (cx.astype(jnp.uint32) * jnp.uint32(73856093))
+        ^ (cy.astype(jnp.uint32) * jnp.uint32(19349663))
+        ^ (cz.astype(jnp.uint32) * jnp.uint32(83492791))
+    )
+    return (h % jnp.uint32(size)).astype(jnp.int32)
+
+
+def make_ray_pass(scene, meta, seed, max_len, n_grid):
+    cam = meta.camera
+    spec = cam.film
+    lights = scene["lights"]
+    tri_data = _em_tri_data(scene)
+
+    @jax.jit
+    def ray_pass(pixel_ids, it):
+        R = pixel_ids.shape[0]
+        x, y = pixel_samples(seed, pixel_ids, spec.x_res, it % (n_grid * n_grid),
+                             n_grid)
+        ray = cam.generate_ray(x, y)
+        frag = scn.intersect(scene, meta, ray["o"], ray["d"], ray["mint"],
+                             ray["maxt"])
+        Ld = jnp.where(
+            frag["hit"][:, None],
+            _area_light_Le(scene, frag, frag["wo"]),
+            _env_le(scene, meta, ray["d"]),
+        )
+        vp_init = {
+            "p": jnp.zeros((R, 3), jnp.float32),
+            "ns": jnp.zeros((R, 3), jnp.float32),
+            "dpdu": jnp.zeros((R, 3), jnp.float32),
+            "uv": jnp.zeros((R, 2), jnp.float32),
+            "mat": jnp.zeros((R,), jnp.int32),
+            "wo": jnp.zeros((R, 3), jnp.float32),
+            "tp": jnp.zeros((R, 3), jnp.float32),
+            "len": jnp.zeros((R,), jnp.int32),
+            "valid": jnp.zeros((R,), bool),
+        }
+
+        def body(state, b):
+            Ld, tp, frag, active, vp = state
+            mat = gather_material(
+                scene, meta, frag,
+                u_mask=hash_uniform(seed, pixel_ids, it * 64 + b, 0, DIM_BASE),
+            )
+            ns, wo, p, eps = frag["ns"], frag["wo"], frag["p"], frag["eps"]
+            path_len = b + 1
+
+            # --- NEE (one light pick; shares the continuation sample for
+            # the bsdf MIS side, PT-style)
+            if meta.n_lights > 0:
+                u_pick = hash_uniform(seed, pixel_ids, it * 64 + b, 1, DIM_BASE)
+                lid, pick_pdf = lt.pick_light(lights, u_pick)
+                u1 = hash_uniform(seed, pixel_ids, it * 64 + b, 2, DIM_BASE)
+                u2 = hash_uniform(seed, pixel_ids, it * 64 + b, 3, DIM_BASE)
+                ls = lt.sample_li(lights, tri_data, lid, p, eps, u1, u2)
+                f_l = bx.bsdf_eval(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
+                consider = (
+                    active & (ls["pdf"] > 0.0)
+                    & jnp.any(ls["Li"] > 0.0, -1) & jnp.any(f_l > 0.0, -1)
+                )
+                occ = scn.occluded(scene, meta, p, ls["wi"], eps,
+                                   ls["shadow_maxt"])
+                vis = consider & ~occ
+                pdf_b_l = bx.bsdf_pdf(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
+                w_l = jnp.where(ls["is_delta"], 1.0,
+                                power_heuristic(1.0, ls["pdf"], 1.0, pdf_b_l))
+                nee = jnp.where(
+                    vis[:, None],
+                    f_l * ls["Li"] * (vm.absdot(ns, ls["wi"]) * w_l
+                                      / jnp.maximum(ls["pdf"], 1e-20))[:, None],
+                    0.0,
+                )
+            else:
+                lid = jnp.zeros((R,), jnp.int32)
+                pick_pdf = jnp.ones((R,))
+                nee = jnp.zeros((R, 3))
+
+            # --- continuation sample (also the bsdf MIS side)
+            bs = bx.bsdf_sample(
+                mat, ns, frag["dpdu"], wo,
+                hash_uniform(seed, pixel_ids, it * 64 + b, 4, DIM_BASE),
+                hash_uniform(seed, pixel_ids, it * 64 + b, 5, DIM_BASE),
+                hash_uniform(seed, pixel_ids, it * 64 + b, 6, DIM_BASE),
+                bx.BSDF_ALL,
+            )
+            cont_ok = active & bs["valid"] & jnp.any(bs["f"] > 0.0, -1)
+            frag2 = scn.intersect(
+                scene, meta, p, bs["wi"], jnp.where(cont_ok, eps, 1e-3),
+                jnp.full((R,), 3.0e37, jnp.float32),
+            )
+            if meta.n_lights > 0:
+                cos_l = vm.dot(frag2["ns"], -bs["wi"])
+                pdf_l_b = lt.pdf_li(lights, lid, p, bs["wi"], frag2["t"],
+                                    cos_l, frag2["light"])
+                w_b = jnp.where(bs["is_specular"] | bs["is_null"], 1.0,
+                                power_heuristic(1.0, bs["pdf"], 1.0, pdf_l_b))
+                le2 = _area_light_Le(scene, frag2, -bs["wi"])
+                hit_picked = frag2["hit"] & (frag2["light"] == lid)
+                nee = nee + jnp.where(
+                    (cont_ok & hit_picked)[:, None],
+                    bs["f"] * le2 * (vm.absdot(bs["wi"], ns) * w_b
+                                     / jnp.maximum(bs["pdf"], 1e-20))[:, None],
+                    0.0,
+                )
+                Ld = Ld + jnp.where(
+                    active[:, None],
+                    tp * nee / jnp.maximum(pick_pdf, 1e-20)[:, None], 0.0,
+                )
+
+            # --- stop at diffuse (record VP) or continue
+            lobe = bx.lobe_of(mat["mtype"])
+            is_diffuse = (lobe & bx.BSDF_DIFFUSE) != 0
+            record = active & (is_diffuse | (path_len == max_len - 1))
+            for k in ("p", "ns", "dpdu", "wo"):
+                src = {"p": p, "ns": ns, "dpdu": frag["dpdu"], "wo": wo}[k]
+                vp[k] = jnp.where(record[:, None], src, vp[k])
+            vp["uv"] = jnp.where(record[:, None], frag["uv"], vp["uv"])
+            vp["mat"] = jnp.where(record, frag["mat"], vp["mat"])
+            vp["tp"] = jnp.where(record[:, None], tp, vp["tp"])
+            vp["len"] = jnp.where(record, path_len, vp["len"])
+            vp["valid"] = vp["valid"] | record
+
+            tp2 = tp * bs["f"] * (vm.absdot(bs["wi"], ns)
+                                  / jnp.maximum(bs["pdf"], 1e-20))[:, None]
+            active = active & ~record & cont_ok & frag2["hit"]
+            tp = jnp.where(active[:, None], tp2, tp)
+            new_frag = jax.tree_util.tree_map(
+                lambda a, c: jnp.where(
+                    active.reshape(active.shape + (1,) * (a.ndim - 1)), c, a
+                ),
+                frag, frag2,
+            )
+            return (Ld, tp, new_frag, active, vp), None
+
+        init = (Ld, jnp.ones((R, 3), jnp.float32), frag, frag["hit"], vp_init)
+        (Ld, _, _, _, vp), _ = jax.lax.scan(body, init, jnp.arange(max_len))
+        return Ld, vp
+
+    return ray_pass
+
+
+def make_photon_pass(scene, meta, seed, max_len, n_pix):
+    lights = scene["lights"]
+
+    @jax.jit
+    def photon_pass(photon_ids, it, grid, vp, radius, Phi, Mi):
+        """grid: dict(bbox_min, inv_len, entry_hash (sorted, E), entry_pix,
+        seg_start implicit via searchsorted). Returns updated (Phi, Mi)."""
+        from ..splatting import walk_light_paths
+
+        R = photon_ids.shape[0]
+        em, verts = walk_light_paths(
+            scene, meta, photon_ids, it, seed, max_len + 1,
+            mode=bx.MODE_RADIANCE,
+        )
+        # photon weight = Le * cos/(pdf_pos*pdf_dir*pick) * bsdf-chain;
+        # verts["tp"] already carries everything except Le (and the walk
+        # init already applies the reference's delta-light cos=1 rule)
+        le_scale = lt.eval_emission(lights, em["lid"], em["n"], em["dir"])
+
+        D = verts["p"].shape[0]
+        for d in range(D):
+            path_len = d + 1
+            if path_len <= 1:
+                continue  # deposits only for pathLength > 1
+            p = verts["p"][d]
+            valid = verts["valid"][d]
+            wgt = verts["tp"][d] * le_scale
+            wi = verts["wo_prev"][d]  # direction back along the photon ray
+            # cell lookup
+            c = jnp.floor((p - grid["bbox_min"]) * grid["inv_len"]).astype(
+                jnp.int32
+            )
+            h = _hash_cells(c[:, 0], c[:, 1], c[:, 2], n_pix)
+            start = jnp.searchsorted(grid["entry_hash"], h, side="left")
+            end = jnp.searchsorted(grid["entry_hash"], h, side="right")
+            E = grid["entry_hash"].shape[0]
+            for k in range(K_MAX):
+                idx = jnp.minimum(start + k, E - 1)
+                ok = valid & (start + k < end)
+                pix = grid["entry_pix"][idx]
+                vp_p = vp["p"][pix]
+                vp_len = vp["len"][pix]
+                vp_valid = vp["valid"][pix]
+                ri = radius[pix]
+                d2 = vm.squared_length(vp_p - p)
+                ok = (
+                    ok & vp_valid & (d2 <= ri * ri)
+                    & (vp_len + path_len <= max_len)
+                )
+                frag_v = {"mat": vp["mat"][pix], "uv": vp["uv"][pix]}
+                mat_v = gather_material(scene, meta, frag_v)
+                fs = bx.bsdf_eval(mat_v, vp["ns"][pix], vp["wo"][pix], wi,
+                                  bx.BSDF_ALL)
+                contrib = jnp.where(ok[:, None], fs * wgt, 0.0)
+                Phi = Phi.at[pix].add(contrib)
+                Mi = Mi.at[pix].add(ok.astype(jnp.float32))
+        return Phi, Mi
+
+    return photon_pass
+
+
+def build_grid(vp, radius, n_pix):
+    """Sort-based spatial hash grid build (device)."""
+    valid = vp["valid"]
+    big = jnp.float32(3e38)
+    p = vp["p"]
+    pmin = jnp.min(jnp.where(valid[:, None], p, big), axis=0)
+    pmax = jnp.max(jnp.where(valid[:, None], p, -big), axis=0)
+    max_r = jnp.max(jnp.where(valid, radius, 0.0))
+    cell = 2.0 * jnp.maximum(max_r, 1e-12)
+    bbox_min = pmin - max_r
+    inv_len = 1.0 / cell
+    # each VP inserts into the up-to-8 cells its ball can overlap
+    lo = jnp.floor((p - radius[:, None] - bbox_min) * inv_len).astype(jnp.int32)
+    hi = jnp.floor((p + radius[:, None] - bbox_min) * inv_len).astype(jnp.int32)
+    hashes = []
+    pixes = []
+    pix_ids = jnp.arange(p.shape[0], dtype=jnp.int32)
+    seen_cells: list = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cx = jnp.minimum(lo[:, 0] + dx, hi[:, 0])
+                cy = jnp.minimum(lo[:, 1] + dy, hi[:, 1])
+                cz = jnp.minimum(lo[:, 2] + dz, hi[:, 2])
+                # dedupe: the clamp can map several offsets to one cell
+                dup = jnp.zeros_like(cx, dtype=bool)
+                for (px, py, pz) in seen_cells:
+                    dup = dup | ((cx == px) & (cy == py) & (cz == pz))
+                seen_cells.append((cx, cy, cz))
+                h = _hash_cells(cx, cy, cz, n_pix)
+                ok = valid & ~dup
+                hashes.append(jnp.where(ok, h, jnp.int32(0x7FFFFFFF)))
+                pixes.append(pix_ids)
+    entry_hash = jnp.concatenate(hashes)
+    entry_pix = jnp.concatenate(pixes)
+    order = jnp.argsort(entry_hash)
+    return {
+        "bbox_min": bbox_min,
+        "inv_len": inv_len,
+        "entry_hash": entry_hash[order],
+        "entry_pix": entry_pix[order],
+    }
+
+
+def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
+    cam = meta.camera
+    spec = cam.film
+    if iterations is None:
+        iterations = int(meta.settings.get("sample_per_pixel", 1))
+    if seed is None:
+        seed = int(meta.settings.get("seed", 0))
+    max_len = max(2, int(meta.settings.get("max_ray_depth", 5)))
+    init_radius = float(meta.settings.get("initial_radius", -1.0))
+
+    xs_, xc, ys_, yc = spec.crop_window()
+    n_pix = xc * yc
+    pixel_ids = jnp.asarray(
+        (np.arange(ys_, ys_ + yc)[:, None] * spec.x_res
+         + np.arange(xs_, xs_ + xc)[None, :]).reshape(-1).astype(np.int32)
+    )
+    n_grid = spp_grid(iterations)
+
+    ray_pass = make_ray_pass(scene, meta, seed, max_len, n_grid)
+    photon_pass = make_photon_pass(scene, meta, seed + 77, max_len, n_pix)
+
+    # per-pixel persistent state
+    Ld_acc = jnp.zeros((n_pix, 3), jnp.float32)
+    Ni = jnp.zeros((n_pix,), jnp.float32)
+    Tau = jnp.zeros((n_pix, 3), jnp.float32)
+    radius = jnp.full((n_pix,), init_radius, jnp.float32)
+    emitted = 0
+
+    @jax.jit
+    def update(Ni, Tau, radius, Phi, Mi, vp_tp, vp_valid):
+        has = vp_valid & (Mi > 0)
+        new_n = Ni + ALPHA * Mi
+        new_r = radius * jnp.sqrt(new_n / jnp.maximum(Ni + Mi, 1e-12))
+        ratio = jnp.where(has, (new_r / jnp.maximum(radius, 1e-20)) ** 2, 1.0)
+        new_tau = (Tau + vp_tp * Phi) * ratio[:, None]
+        return (
+            jnp.where(has, new_n, Ni),
+            jnp.where(has[:, None], new_tau, Tau),
+            jnp.where(has, new_r, radius),
+        )
+
+    for it in range(iterations):
+        Ld_it, vp = ray_pass(pixel_ids, jnp.int32(it))
+        Ld_acc = Ld_acc + Ld_it
+        # initial radius heuristic when unset (reference :241-253)
+        if it == 0 and init_radius <= 0.0:
+            p = np.asarray(vp["p"])
+            valid = np.asarray(vp["valid"])
+            if valid.any():
+                lo = p[valid].min(axis=0)
+                hi = p[valid].max(axis=0)
+                r0 = float(
+                    ((hi - lo).sum() / 3.0) / ((xc + yc) / 2.0) * 2.0
+                ) or 1e-5
+            else:
+                r0 = 1e-5
+            radius = jnp.full((n_pix,), r0, jnp.float32)
+        grid = build_grid(vp, radius, n_pix)
+        Phi = jnp.zeros((n_pix, 3), jnp.float32)
+        Mi = jnp.zeros((n_pix,), jnp.float32)
+        # full uniform chunks (keeps one compiled shape); emitted counts
+        # the actual number traced
+        cs = min(chunk_size, n_pix)
+        n_chunks = (n_pix + cs - 1) // cs
+        for c in range(n_chunks):
+            ids = jnp.arange(emitted + c * cs, emitted + (c + 1) * cs,
+                             dtype=jnp.int32)
+            Phi, Mi = photon_pass(ids, jnp.int32(it), grid, vp, radius, Phi,
+                                  Mi)
+        emitted += n_chunks * cs
+        Ni, Tau, radius = update(Ni, Tau, radius, Phi, Mi, vp["tp"],
+                                 vp["valid"])
+
+    L = Ld_acc / iterations + Tau / jnp.maximum(
+        emitted * np.pi * radius[:, None] ** 2, 1e-20
+    )
+    # splat with the film filter at pixel centers (reference final tile)
+    color, weight = film_mod.new_film(spec)
+    px = (pixel_ids % spec.x_res).astype(jnp.float32) + 0.5
+    py = (pixel_ids // spec.x_res).astype(jnp.float32) + 0.5
+    color, weight = film_mod.splat(spec, color, weight, px, py, L)
+    return film_mod.to_image(color, weight, normalize=True)
