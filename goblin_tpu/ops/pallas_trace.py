@@ -1,0 +1,275 @@
+"""Pallas TPU packet-BVH traversal kernel.
+
+Why this shape: on TPU, per-lane gathers are pathologically slow (~ms per
+call — measured) and XLA's gather lowering is the bottleneck of the pure
+jnp traversal (accel/traverse.py). The classic answer is *packet
+traversal*: a block of rays shares ONE scalar traversal stack; node
+fetches become scalar-indexed dynamic slices from VMEM-resident packed
+scene arrays (fast), AABB/triangle tests are dense vector ops over the
+whole packet, and control flow is scalar (`lax.while_loop` + `lax.cond`)
+— exactly the mix the TPU core is built for.
+
+Memory layout (lane-aligned packing, VMEM):
+- nodes:  (ceil(N/16), 128) f32 — node j at group j//16, lanes
+          (j%16)*8 .. +5: [bmin.xyz, bmax.xyz, pad, pad]
+- meta:   (ceil(N/32), 128) i32 — node j at group j//32, lanes
+          (j%32)*4 .. +2: [first_tri, tri_count (0 = inner), miss]
+          (for inner nodes the right child = meta[left=j+1].miss,
+          left child = j+1 — DFS pre-order invariant)
+- tris:   (ceil(T/8), 128) f32 — triangle k at group k//8, lanes
+          (k%8)*12 .. +8: [v0.xyz, e1.xyz, e2.xyz, pad x3]
+
+Rays are reshaped (R,) -> (P, 8, 128) per component (1024-ray packets).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PACKET = 1024  # rays per packet: (8, 128) f32 tile
+STACK_DEPTH = 96
+BIG_T = 3.0e38
+
+
+def pack_scene(bounds: np.ndarray, meta: np.ndarray, tri_soup: np.ndarray):
+    """Host-side packing of BVH + triangle soup into lane-aligned arrays.
+
+    bounds: (N, 6) f32; meta: (N, 3) i32; tri_soup: (T, 9) f32 (BVH order).
+    Returns dict of numpy arrays.
+    """
+    N = bounds.shape[0]
+    T = tri_soup.shape[0]
+    ng = (N + 15) // 16
+    nodes_packed = np.zeros((ng, 128), np.float32)
+    flat = nodes_packed.reshape(ng * 16, 8)
+    flat[:N, 0:6] = bounds
+    mg = (N + 31) // 32
+    meta_packed = np.zeros((mg, 128), np.int32)
+    mflat = meta_packed.reshape(mg * 32, 4)
+    mflat[:N, 0:3] = meta
+    tg = (T + 7) // 8
+    tris_packed = np.zeros((tg, 128), np.float32)
+    tflat = tris_packed.reshape(tg * 8, 16)
+    tflat[:T, 0:9] = tri_soup
+    return {
+        "nodes": nodes_packed,
+        "meta": meta_packed,
+        "tris": tris_packed,
+        "n_nodes": N,
+        "n_tris": T,
+    }
+
+
+def _extract(row, off, k):
+    """Scalar lane-extract row[0, off+k] from a (1, 128) vector."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return jnp.sum(jnp.where(lane == off + k, row, 0.0))
+
+
+def _extract_i(row, off, k):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return jnp.sum(jnp.where(lane == off + k, row, 0))
+
+
+def _make_kernel(max_leaf: int, any_hit: bool):
+    def kernel(nodes_ref, meta_ref, tris_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               mint_ref, maxt_ref,
+               t_ref, tri_ref, b1_ref, b2_ref,
+               stack_ref):
+        ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+        dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+        mint = mint_ref[0]
+        maxt = maxt_ref[0]
+        tiny = 1e-30
+        inv_dx = 1.0 / jnp.where(dx == 0.0, tiny, dx)
+        inv_dy = 1.0 / jnp.where(dy == 0.0, tiny, dy)
+        inv_dz = 1.0 / jnp.where(dz == 0.0, tiny, dz)
+
+        stack_ref[0] = 0  # root
+
+        def fetch_meta(j):
+            mrow = meta_ref[pl.ds(j // 32, 1), :]
+            moff = (j % 32) * 4
+            first = _extract_i(mrow, moff, 0)
+            count = _extract_i(mrow, moff, 1)
+            miss = _extract_i(mrow, moff, 2)
+            return first, count, miss
+
+        def leaf_tris(first, count, t_best, tri_best, b1_best, b2_best):
+            for k in range(max_leaf):
+                tri_id = first + k
+                trow = tris_ref[pl.ds(tri_id // 8, 1), :]
+                toff = (tri_id % 8) * 16
+
+                def tv(i):
+                    return _extract(trow, toff, i)
+
+                v0x, v0y, v0z = tv(0), tv(1), tv(2)
+                e1x, e1y, e1z = tv(3), tv(4), tv(5)
+                e2x, e2y, e2z = tv(6), tv(7), tv(8)
+                # Moller-Trumbore, scalar triangle x vector rays
+                s1x = dy * e2z - dz * e2y
+                s1y = dz * e2x - dx * e2z
+                s1z = dx * e2y - dy * e2x
+                div = s1x * e1x + s1y * e1y + s1z * e1z
+                inv = 1.0 / jnp.where(div == 0.0, tiny, div)
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
+                s2x = sy * e1z - sz * e1y
+                s2y = sz * e1x - sx * e1z
+                s2z = sx * e1y - sy * e1x
+                b2 = (dx * s2x + dy * s2y + dz * s2z) * inv
+                t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv
+                eps = 1e-7
+                hit = (
+                    (div != 0.0)
+                    & (b1 + eps >= 0.0) & (b1 - eps <= 1.0)
+                    & (b2 + eps >= 0.0) & (b1 + b2 - eps <= 1.0)
+                    & (t >= mint) & (t <= t_best)
+                    & (k < count)
+                )
+                t_best = jnp.where(hit, t, t_best)
+                tri_best = jnp.where(hit, tri_id, tri_best)
+                b1_best = jnp.where(hit, b1, b1_best)
+                b2_best = jnp.where(hit, b2, b2_best)
+            return t_best, tri_best, b1_best, b2_best
+
+        def body(state):
+            sp, t_best, tri_best, b1_best, b2_best = state
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            nrow = nodes_ref[pl.ds(node // 16, 1), :]
+            noff = (node % 16) * 8
+            bminx = _extract(nrow, noff, 0)
+            bminy = _extract(nrow, noff, 1)
+            bminz = _extract(nrow, noff, 2)
+            bmaxx = _extract(nrow, noff, 3)
+            bmaxy = _extract(nrow, noff, 4)
+            bmaxz = _extract(nrow, noff, 5)
+            t0x = (bminx - ox) * inv_dx
+            t1x = (bmaxx - ox) * inv_dx
+            t0y = (bminy - oy) * inv_dy
+            t1y = (bmaxy - oy) * inv_dy
+            t0z = (bminz - oz) * inv_dz
+            t1z = (bmaxz - oz) * inv_dz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), mint),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), t_best),
+            )
+            if any_hit:
+                live = tri_best < 0
+                box_hit = (tn <= tf) & live
+            else:
+                box_hit = tn <= tf
+            hit_any = jnp.any(box_hit)
+            first, count, miss = fetch_meta(node)
+            is_leaf = count > 0
+
+            def do_leaf(args):
+                sp, t_best, tri_best, b1_best, b2_best = args
+                t_best, tri_best, b1_best, b2_best = leaf_tris(
+                    first, count, t_best, tri_best, b1_best, b2_best
+                )
+                return sp, t_best, tri_best, b1_best, b2_best
+
+            def do_inner(args):
+                sp, t_best, tri_best, b1_best, b2_best = args
+                # right child = miss link of the left child (j+1)
+                _, _, right = fetch_meta(node + 1)
+                # push right then left (left popped first)
+                stack_ref[sp] = right
+                stack_ref[sp + 1] = node + 1
+                return sp + 2, t_best, tri_best, b1_best, b2_best
+
+            def skip(args):
+                return args
+
+            state = (sp, t_best, tri_best, b1_best, b2_best)
+            state = jax.lax.cond(
+                hit_any,
+                lambda s: jax.lax.cond(is_leaf, do_leaf, do_inner, s),
+                skip,
+                state,
+            )
+            return state
+
+        def cond(state):
+            sp = state[0]
+            if any_hit:
+                return (sp > 0) & jnp.any(state[2] < 0)
+            return sp > 0
+
+        init = (
+            jnp.int32(1),
+            maxt,
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+        )
+        _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
+            cond, body, init
+        )
+        t_ref[0] = t_best
+        tri_ref[0] = tri_best
+        b1_ref[0] = b1_best
+        b2_ref[0] = b2_best
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "interpret"))
+def trace_packets(
+    nodes, meta, tris,  # packed device arrays
+    o, d, mint, maxt,  # (R, 3), (R, 3), (R,), (R,) with R % 1024 == 0
+    max_leaf: int = 4,
+    any_hit: bool = False,
+    interpret: bool = False,
+):
+    """Packet trace. Returns (hit, t, tri, b1, b2) shaped (R,)."""
+    R = o.shape[0]
+    P = R // PACKET
+
+    def shape8(x):
+        return x.reshape(P, 8, 128)
+
+    comps = [
+        shape8(o[:, 0]), shape8(o[:, 1]), shape8(o[:, 2]),
+        shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
+        shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
+    ]
+    kernel = _make_kernel(max_leaf, any_hit)
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda p: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
+    ]
+    t, tri, b1, b2 = pl.pallas_call(
+        kernel,
+        grid=(P,),
+        in_specs=[full(nodes), full(meta), full(tris)] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(nodes, meta, tris, *comps)
+    t = t.reshape(R)
+    tri = tri.reshape(R)
+    hit = tri >= 0
+    return hit, jnp.where(hit, t, BIG_T), tri, b1.reshape(R), b2.reshape(R)
