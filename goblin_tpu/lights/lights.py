@@ -404,6 +404,45 @@ def eval_emission(lights, lid, n_light, wo):
     )
 
 
+def pdf_emission_direction(lights, lid, n_light, w):
+    """Light::pdfDirection — pdf of emitting direction w from the light
+    (solid angle): point -> 1/4pi; spot -> cone pdf; directional -> 0;
+    area -> cos/pi one-sided (reference per-type pdfDirection)."""
+    ltype = lights["type"][lid]
+    cone = sp.uniform_cone_pdf(lights["cos_theta_max"][lid])
+    cos_t = vm.dot(w, lights["direction"][lid])
+    # spot pdfDirection ignores falloff (reference SpotLight::pdfDirection)
+    area_cos = vm.dot(n_light, w)
+    return jnp.where(
+        ltype == LIGHT_POINT,
+        sp.uniform_sphere_pdf(),
+        jnp.where(
+            ltype == LIGHT_SPOT,
+            cone,
+            jnp.where(
+                ltype == LIGHT_AREA,
+                jnp.maximum(area_cos, 0.0) * (1.0 / jnp.pi),
+                0.0,
+            ),
+        ),
+    )
+
+
+def pdf_emission_position(lights, lid):
+    """Light::pdfPosition — area pdf of the emission position."""
+    ltype = lights["type"][lid]
+    wr = lights["world_radius"]
+    return jnp.where(
+        ltype == LIGHT_DIRECTIONAL,
+        1.0 / (jnp.pi * wr * wr),
+        jnp.where(
+            ltype == LIGHT_AREA,
+            1.0 / jnp.maximum(lights["area"][lid], 1e-20),
+            0.0,
+        ),
+    )
+
+
 def pdf_li(lights, lid, p, wi, hit_t, hit_cos, hit_light):
     """Solid-angle pdf that light lid generates direction wi from p, given
     the BSDF ray's actual hit (t, |cos| at the light, hit light id).
