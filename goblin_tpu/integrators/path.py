@@ -239,6 +239,11 @@ def make_li(meta, max_depth=None):
         (L, _, _, _), _ = jax.lax.scan(
             bounce_body, init, jnp.arange(max_depth - 1)
         )
+        if meta.volume is not None:
+            from .volume import apply_volume
+
+            L = apply_volume(scene, meta, ray, frag["t"], L, pixel_ids,
+                             s_idx, seed)
         return L
 
     return li

@@ -1,0 +1,328 @@
+"""Participating media: homogeneous + heterogeneous volume regions.
+
+Parity with the reference (src/GoblinVolume.{h,cpp},
+GoblinRenderer.cpp:296-455):
+- homogeneous: Beer's-law analytic transmittance; in-scatter via
+  per-light equi-angular + distance sampling MIS-combined
+  (Kulla-Fajardo 2012)
+- heterogeneous: Mitsuba .vol density grid (trilinear), jittered
+  ray-marching for both transmittance and emission+in-scatter
+- Henyey-Greenstein phase
+- applied to camera rays over [mint, hit_t] exactly like the reference
+  render loop (tile += tr * Li + Lv)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import vecmath as vm
+from ..core.rng import hash_uniform
+from ..core.sampling import (
+    equi_angular_pdf,
+    equi_angular_sample,
+    exponential_pdf_range,
+    exponential_sample_range,
+    power_heuristic,
+)
+from ..lights import lights as lt
+from ..scene import intersect as scn
+
+MARCH_STEPS = 64  # static step cap for heterogeneous marching
+
+
+@dataclass(frozen=True)
+class VolumeSpec:
+    kind: str = "homogeneous"  # or "heterogeneous"
+    to_world: tuple = ()  # 4x4 row-major
+    to_local: tuple = ()
+    box_min: tuple = (0.0, 0.0, 0.0)
+    box_max: tuple = (1.0, 1.0, 1.0)
+    attenuation: tuple = (0.0, 0.0, 0.0)  # sigma_t (homogeneous)
+    albedo: tuple = (0.0, 0.0, 0.0)
+    emission: tuple = (0.0, 0.0, 0.0)
+    g: float = 0.0
+    sample_num: int = 5
+    step_size: float = 0.1
+    grid_shape: tuple = ()  # (nz, ny, nx) for heterogeneous
+
+
+def phase_hg(wi, wo, g):
+    """Henyey-Greenstein (reference GoblinVolume.h:126-134)."""
+    iso = 0.25 * vm.INV_PI
+    cos_t = vm.dot(wi, wo)
+    aniso = (
+        0.25 * vm.INV_PI * (1.0 - g * g)
+        / jnp.power(jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-8), 1.5)
+    )
+    return jnp.where(jnp.abs(g) < 1e-3, iso, aniso)
+
+
+def _to_local(vol: VolumeSpec, p):
+    m = jnp.asarray(np.asarray(vol.to_local, np.float32).reshape(4, 4))
+    return vm.transform_point(m, p)
+
+
+def _dir_local(vol: VolumeSpec, d):
+    m = jnp.asarray(np.asarray(vol.to_local, np.float32).reshape(4, 4))
+    return vm.transform_vector(m, d)
+
+
+def intersect_volume(vol: VolumeSpec, o, d, mint, maxt):
+    """Slab test in the volume's local space. Returns (hit, t0, t1)
+    (t values in world parameterization; reference invertRay does not
+    renormalize so t stays in world units under rigid transforms)."""
+    ol = _to_local(vol, o)
+    dl = _dir_local(vol, d)
+    inv = 1.0 / jnp.where(dl == 0.0, 1e-30, dl)
+    bmin = jnp.asarray(vol.box_min, jnp.float32)
+    bmax = jnp.asarray(vol.box_max, jnp.float32)
+    t0 = (bmin - ol) * inv
+    t1 = (bmax - ol) * inv
+    tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), mint)
+    tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), maxt)
+    return tn < tf, tn, tf
+
+
+def eval_density(vol: VolumeSpec, grid, p):
+    """Trilinear density lookup in [box_min, box_max] local space."""
+    pl_ = _to_local(vol, p)
+    bmin = jnp.asarray(vol.box_min, jnp.float32)
+    bmax = jnp.asarray(vol.box_max, jnp.float32)
+    u = (pl_ - bmin) / jnp.maximum(bmax - bmin, 1e-20)
+    nz, ny, nx = vol.grid_shape
+    fx = u[..., 0] * nx - 0.5
+    fy = u[..., 1] * ny - 0.5
+    fz = u[..., 2] * nz - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    tx, ty, tz = fx - x0, fy - y0, fz - z0
+    inside = jnp.all((u >= 0.0) & (u <= 1.0), axis=-1)
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = jnp.clip(x0 + dx, 0, nx - 1)
+                yi = jnp.clip(y0 + dy, 0, ny - 1)
+                zi = jnp.clip(z0 + dz, 0, nz - 1)
+                w = (
+                    jnp.where(dx, tx, 1 - tx)
+                    * jnp.where(dy, ty, 1 - ty)
+                    * jnp.where(dz, tz, 1 - tz)
+                )
+                out = out + w * grid[zi, yi, xi]
+    return jnp.where(inside, out, 0.0)
+
+
+def eval_sigma(vol: VolumeSpec, scene, p):
+    """-> (sigma_t (R,3), sigma_s (R,3), emission (R,3)) at points p."""
+    if vol.kind == "homogeneous":
+        inside = jnp.all(
+            (_to_local(vol, p) >= jnp.asarray(vol.box_min))
+            & (_to_local(vol, p) <= jnp.asarray(vol.box_max)),
+            axis=-1,
+        )[..., None]
+        sigma_t = jnp.asarray(vol.attenuation, jnp.float32) * inside
+        sigma_s = sigma_t * jnp.asarray(vol.albedo, jnp.float32)
+        emission = jnp.asarray(vol.emission, jnp.float32) * inside
+        return sigma_t, sigma_s, emission
+    dens = eval_density(vol, scene["vol_grid"], p)[..., None]
+    sigma_t = dens  # density IS sigma_t for the grid (reference VolumeGrid)
+    sigma_s = sigma_t * jnp.asarray(vol.albedo, jnp.float32)
+    return sigma_t, sigma_s, jnp.zeros_like(sigma_t)
+
+
+def transmittance(vol: VolumeSpec, scene, o, d, mint, maxt, u_jitter):
+    """Beer's law (homogeneous, analytic) or jittered marching."""
+    hit, t0, t1 = intersect_volume(vol, o, d, mint, maxt)
+    seg = jnp.maximum(t1 - t0, 0.0)
+    if vol.kind == "homogeneous":
+        dlen = vm.length(d)
+        tau = (seg * dlen)[..., None] * jnp.asarray(vol.attenuation,
+                                                   jnp.float32)
+        tr = jnp.exp(-tau)
+        return jnp.where(hit[..., None], tr, 1.0)
+    # heterogeneous: jittered march with static step count
+    step = vol.step_size
+    t = t0 + u_jitter * step
+    tau = jnp.zeros(o.shape[:-1] + (3,), jnp.float32)
+
+    def body(i, carry):
+        tau, t = carry
+        p = o + t[..., None] * d
+        s_t, _, _ = eval_sigma(vol, scene, p)
+        active = (t <= t1)[..., None]
+        return tau + jnp.where(active, s_t * step, 0.0), t + step
+
+    tau, _ = jax.lax.fori_loop(0, MARCH_STEPS, body, (tau, t))
+    return jnp.where(hit[..., None], jnp.exp(-tau), 1.0)
+
+
+def apply_volume(scene, meta, ray, hit_t, L, pixel_ids, s_idx, seed):
+    """tr * L + Lv over the camera-ray segment (reference RenderTask)."""
+    vol: VolumeSpec = meta.volume
+    if vol is None:
+        return L
+    o, d = ray["o"], ray["d"]
+    mint = ray["mint"]
+    maxt = jnp.minimum(hit_t, 3.0e37)
+    uj = hash_uniform(seed, pixel_ids, s_idx, 0x7F0, 0)
+    tr = transmittance(vol, scene, o, d, mint, maxt, uj)
+    Lv = eval_lv(scene, meta, vol, o, d, mint, maxt, pixel_ids, s_idx, seed)
+    return tr * L + Lv
+
+
+def eval_lv(scene, meta, vol: VolumeSpec, o, d, mint, maxt, pixel_ids,
+            s_idx, seed):
+    """Single-scatter in-scattering + emission along the segment."""
+    lights = scene["lights"]
+    from .path import _em_tri_data
+
+    tri_data = _em_tri_data(scene)
+    hit, t0, t1 = intersect_volume(vol, o, d, mint, maxt)
+    valid_seg = hit & ((t1 - t0) > 1e-5)
+    R = o.shape[0]
+    Lv = jnp.zeros((R, 3), jnp.float32)
+    if meta.n_lights == 0:
+        return Lv
+
+    def u(k):
+        return hash_uniform(seed, pixel_ids, s_idx, 0x7F1, k)
+
+    if vol.kind == "homogeneous":
+        n = max(1, vol.sample_num)
+        for i in range(n):
+            base = 16 * i
+            lid, pick_pdf = lt.pick_light(lights, u(base))
+            # light pivot position (samplePosition)
+            em = lt.sample_emission(lights, tri_data, lid, u(base + 1),
+                                    u(base + 2), u(base + 3), u(base + 4))
+            p_light = em["p"]
+            delta = vm.dot(p_light - o, d)
+            a = t0 - delta
+            b = t1 - delta
+            D = jnp.maximum(vm.length(p_light - (o + delta[..., None] * d)),
+                            1e-8)
+            theta_a = jnp.arctan2(a, D)
+            theta_b = jnp.arctan2(b, D)
+
+            def in_scatter(t_s, pdf_t, pdf_other_fn, u_l1, u_l2):
+                p_s = o + (delta + t_s)[..., None] * d
+                s_t, s_s, _ = eval_sigma(vol, scene, p_s)
+                tr_seg = jnp.exp(-s_t * jnp.maximum(t_s - a, 0.0)[..., None])
+                ls = lt.sample_li(lights, tri_data, lid, p_s,
+                                  jnp.zeros((R,)), u_l1, u_l2)
+                occ = scn.occluded(scene, meta, p_s, ls["wi"],
+                                   jnp.full((R,), 1e-4), ls["shadow_maxt"])
+                tr_light = transmittance(vol, scene, p_s, ls["wi"],
+                                         jnp.zeros((R,)), ls["shadow_maxt"],
+                                         u(base + 9))
+                Ld = tr_light * ls["Li"] / jnp.maximum(
+                    (pick_pdf * ls["pdf"]), 1e-20)[..., None]
+                ph = phase_hg(d, ls["wi"], vol.g)
+                w = power_heuristic(1.0, pdf_t, 1.0, pdf_other_fn(t_s))
+                ok = valid_seg & ~occ & (ls["pdf"] > 0.0)
+                return jnp.where(
+                    ok[..., None],
+                    (w / jnp.maximum(pdf_t, 1e-20))[..., None]
+                    * tr_seg * s_s * ph[..., None] * Ld,
+                    0.0,
+                )
+
+            # sigma -> 0 degenerates exponential sampling to 0/0; clamp
+            # (the distance-sampling strategy then draws near-uniformly)
+            sigma_lum = max(
+                float(film_lum(np.asarray(vol.attenuation, np.float32))),
+                1e-5,
+            )
+            # equi-angular sample
+            te = equi_angular_sample(u(base + 5), D, theta_a, theta_b)
+            pdf_te = equi_angular_pdf(te, D, theta_a, theta_b)
+            Lv = Lv + in_scatter(
+                te, pdf_te,
+                lambda t: exponential_pdf_range(t, sigma_lum, a, b),
+                u(base + 6), u(base + 7),
+            )
+            # distance sample
+            td = exponential_sample_range(u(base + 8), sigma_lum, a, b)
+            pdf_td = exponential_pdf_range(td, sigma_lum, a, b)
+            Lv = Lv + in_scatter(
+                td, pdf_td,
+                lambda t: equi_angular_pdf(t, D, theta_a, theta_b),
+                u(base + 10), u(base + 11),
+            )
+        return Lv / n
+
+    # heterogeneous: jittered marching with emission + in-scatter
+    step = vol.step_size
+    t = t0 + u(0) * step
+
+    def body(i, carry):
+        Lv, tr, t, prev_t = carry
+        p = o + t[..., None] * d
+        s_t, s_s, emission = eval_sigma(vol, scene, p)
+        seg_len = (t - prev_t)[..., None]
+        tr = tr * jnp.exp(-s_t * seg_len)
+        active = valid_seg & (t <= t1)
+        Lv = Lv + jnp.where(active[..., None], tr * emission, 0.0)
+        lid, pick_pdf = lt.pick_light(lights, u(32 + 0) * 0 +
+                                      hash_uniform(seed, pixel_ids,
+                                                   s_idx, 0x7F2, i))
+        ls = lt.sample_li(
+            lights, tri_data, lid, p, jnp.zeros((R,)),
+            hash_uniform(seed, pixel_ids, s_idx, 0x7F3, i),
+            hash_uniform(seed, pixel_ids, s_idx, 0x7F4, i),
+        )
+        occ = scn.occluded(scene, meta, p, ls["wi"], jnp.full((R,), 1e-4),
+                           ls["shadow_maxt"])
+        tr_light = transmittance(vol, scene, p, ls["wi"], jnp.zeros((R,)),
+                                 ls["shadow_maxt"],
+                                 hash_uniform(seed, pixel_ids, s_idx,
+                                              0x7F5, i))
+        Ld = tr_light * ls["Li"] / jnp.maximum(pick_pdf * ls["pdf"],
+                                               1e-20)[..., None]
+        ph = phase_hg(d, ls["wi"], vol.g)
+        ok = active & ~occ & (ls["pdf"] > 0.0)
+        Lv = Lv + jnp.where(ok[..., None], tr * s_s * ph[..., None] * Ld,
+                            0.0)
+        return Lv, tr, t + step, t
+
+    Lv, _, _, _ = jax.lax.fori_loop(
+        0, MARCH_STEPS, body,
+        (Lv, jnp.ones((R, 3), jnp.float32), t, t),
+    )
+    return Lv * step
+
+
+def film_lum(rgb):
+    return 0.212671 * rgb[..., 0] + 0.715160 * rgb[..., 1] + 0.072169 * rgb[..., 2]
+
+
+def load_vol(path: str):
+    """Mitsuba .vol binary density grid -> (grid (nz,ny,nx) f32, bbox)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    import struct
+
+    if buf[:3] != b"VOL":
+        raise ValueError("not a .vol file")
+    version = buf[3]
+    enc, nx, ny, nz, ch = struct.unpack_from("<iiiii", buf, 4)
+    bbox = struct.unpack_from("<6f", buf, 24)
+    data_off = 48
+    n = nx * ny * nz * ch
+    if enc == 1:
+        data = np.frombuffer(buf, np.float32, n, data_off)
+    elif enc == 2:
+        data = np.frombuffer(buf, np.float16, n, data_off).astype(np.float32)
+    elif enc == 3:
+        data = np.frombuffer(buf, np.uint8, n, data_off).astype(np.float32) / 255.0
+    else:
+        raise ValueError(f"unsupported .vol encoding {enc}")
+    grid = data.reshape(nz, ny, nx, ch)[..., 0]
+    return np.ascontiguousarray(grid, np.float32), bbox

@@ -68,6 +68,7 @@ class InstanceRecord:
 class SceneMeta:
     camera: CameraSpec = None
     settings: dict = field(default_factory=dict)
+    volume: object = None  # VolumeSpec or None
     n_tris: int = 0
     n_nodes: int = 0
     n_materials: int = 0
@@ -107,6 +108,8 @@ class SceneBuilder:
         ]
         self.lights = LightsBuild()
         self.camera: CameraSpec | None = None
+        self.volume = None  # VolumeSpec
+        self.vol_grid = None  # numpy density grid (heterogeneous)
         self.settings: dict = {}
         self.output_path = "goblin.exr"
         self.env_light_id = -1
@@ -305,6 +308,9 @@ class SceneBuilder:
             "tex_atlas": tex_sys.atlas,
             "ftex_atlas": ftex_sys.atlas,
         }
+        if self.vol_grid is not None:
+            scene["vol_grid"] = jnp.asarray(self.vol_grid)
+
         if self.env_light_id >= 0 and self.env_image is not None:
             from ..lights.envmap import bake_env
 
@@ -329,6 +335,7 @@ class SceneBuilder:
         meta = SceneMeta(
             camera=self.camera,
             settings=dict(self.settings),
+            volume=self.volume,
             n_tris=T,
             n_nodes=bvh.num_nodes,
             n_materials=M,

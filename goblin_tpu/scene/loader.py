@@ -138,6 +138,53 @@ def load_scene(path: str, overrides: dict | None = None):
         film=film_spec,
     )
 
+    # --- volume
+    vol_raw = doc.get("volume")
+    if vol_raw:
+        from ..integrators.volume import VolumeSpec, load_vol
+
+        vp = ParamSet(vol_raw)
+        vkind = vp.get_string("type", "homogeneous")
+        m = get_transform(vp)
+        m_inv = np.linalg.inv(m)
+        if vkind == "heterogeneous":
+            gpath = _resolve_path(scene_dir, vp.get_string("density_grid"))
+            try:
+                grid, gb = load_vol(gpath)
+                box_min = tuple(float(v) for v in gb[:3])
+                box_max = tuple(float(v) for v in gb[3:])
+            except Exception as e:
+                print(f"[loader] failed to load density grid {gpath}: {e}")
+                grid = np.zeros((1, 1, 1), np.float32)
+                box_min, box_max = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+            builder.vol_grid = grid
+            builder.volume = VolumeSpec(
+                kind="heterogeneous",
+                to_world=tuple(m.reshape(-1).tolist()),
+                to_local=tuple(m_inv.reshape(-1).tolist()),
+                box_min=box_min,
+                box_max=box_max,
+                albedo=tuple(vp.get_vec3("albedo", (0.5, 0.5, 0.5))),
+                g=vp.get_float("g", 0.0),
+                sample_num=vp.get_int("sample_num", 5),
+                step_size=vp.get_float("step_size", 0.1),
+                grid_shape=tuple(int(x) for x in grid.shape),
+            )
+        else:
+            builder.volume = VolumeSpec(
+                kind="homogeneous",
+                to_world=tuple(m.reshape(-1).tolist()),
+                to_local=tuple(m_inv.reshape(-1).tolist()),
+                box_min=tuple(vp.get_vec3("box_min", (0.0, 0.0, 0.0))),
+                box_max=tuple(vp.get_vec3("box_max", (1.0, 1.0, 1.0))),
+                attenuation=tuple(vp.get_vec3("attenuation", (0.0, 0.0, 0.0))),
+                albedo=tuple(vp.get_vec3("albedo", (0.0, 0.0, 0.0))),
+                emission=tuple(vp.get_vec3("emission", (0.0, 0.0, 0.0))),
+                g=vp.get_float("g", 0.0),
+                sample_num=vp.get_int("sample_num", 5),
+                step_size=vp.get_float("step_size", 0.1),
+            )
+
     # --- geometries
     geometries: dict[str, object] = {}
     for raw in doc.get("geometries", []) or []:
