@@ -21,8 +21,14 @@ def gather_material(scene, meta, frag, u_mask=None):
     inner = jnp.take(scene["mat_inner"], mid)
     eff = jnp.where(is_masked, jnp.maximum(inner, 0), mid)
 
-    tex_stack = meta.texture_system.eval_all(frag["uv"])  # (X, R, 3)
-    ftex_stack = meta.float_texture_system.eval_all(frag["uv"])
+    tex_stack = meta.texture_system.eval_all(
+        frag["uv"], atlas=scene.get("tex_atlas"), const=scene.get("tex_const"),
+        p=frag.get("p"), duv=frag.get("duv"),
+    )  # (X, R, 3)
+    ftex_stack = meta.float_texture_system.eval_all(
+        frag["uv"], atlas=scene.get("ftex_atlas"),
+        const=scene.get("ftex_const"), p=frag.get("p"), duv=frag.get("duv"),
+    )
 
     def gc(ids):
         return jnp.take_along_axis(

@@ -453,8 +453,11 @@ def pdf_li(lights, lid, p, wi, hit_t, hit_cos, hit_light):
     ltype = lights["type"][lid]
     is_area = ltype == LIGHT_AREA
     total_area = lights["area"][lid]
-    pdf_area = (hit_t * hit_t) / jnp.maximum(
+    ok = is_area & (hit_light == lid)
+    # clamp t under the mask: miss lanes carry t = BIG_T whose square is
+    # inf, which would poison the backward pass through the where
+    t_ok = jnp.where(ok, hit_t, 1.0)
+    pdf_area = (t_ok * t_ok) / jnp.maximum(
         jnp.abs(hit_cos) * total_area, 1e-12
     )
-    ok = is_area & (hit_light == lid)
     return jnp.where(ok, pdf_area, 0.0)

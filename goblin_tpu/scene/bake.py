@@ -307,6 +307,8 @@ class SceneBuilder:
             "em_n": jnp.asarray(em_n if em_sel.size else np.zeros((0, 3), np.float32)),
             "tex_atlas": tex_sys.atlas,
             "ftex_atlas": ftex_sys.atlas,
+            "tex_const": tex_sys.const,
+            "ftex_const": ftex_sys.const,
         }
         if self.vol_grid is not None:
             scene["vol_grid"] = jnp.asarray(self.vol_grid)

@@ -76,7 +76,28 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
     tri_c = jnp.maximum(tri, 0)
     soup = jnp.take(scene["tri_soup"], tri_c, axis=0)
     v0, e1, e2 = soup[..., 0:3], soup[..., 3:6], soup[..., 6:9]
-    p = o + t[..., None] * d
+
+    # Differentiable hit recompute (SURVEY.md §7): the traversal's discrete
+    # pick (which triangle) is detached, but t and the barycentrics are
+    # re-derived by Möller–Trumbore on the *non-detached* gathered triangle
+    # so hit points / normals / uvs carry gradients w.r.t. vertex positions.
+    pvec = jnp.cross(d, e2)
+    det_mt = vm.dot(e1, pvec)
+    inv_mt = 1.0 / jnp.where(jnp.abs(det_mt) < 1e-20, 1.0, det_mt)
+    tvec = o - v0
+    b1_d = vm.dot(tvec, pvec) * inv_mt
+    qvec = jnp.cross(tvec, e1)
+    b2_d = vm.dot(d, qvec) * inv_mt
+    t_d = vm.dot(e2, qvec) * inv_mt
+    tri_hit = hit & ~sph_hit & (tri >= 0) & (jnp.abs(det_mt) >= 1e-20)
+    t = jnp.where(tri_hit, t_d, t)
+    b1 = jnp.where(tri_hit, b1_d, b1)
+    b2 = jnp.where(tri_hit, b2_d, b2)
+
+    # miss lanes keep t = BIG_T; clamp the t used for the shading point so
+    # no inf enters downstream math (inf * 0 = NaN in the backward pass —
+    # miss-lane values are masked by `hit` everywhere they matter)
+    p = o + jnp.where(hit, t, 1.0)[..., None] * d
     b0 = 1.0 - b1 - b2
     n_rows = jnp.take(scene["tri_n"], tri_c, axis=0)  # (R, 3, 3)
     ns_tri = vm.normalize(

@@ -57,6 +57,9 @@ class TexSpec:
     gamma: float = 1.0
     # checkerboard filtering flag (reference box-filtered antialiasing)
     checker_filter: bool = False
+    # mapping kind; spherical uses world_to_tex on the hit position
+    mapping: int = MAP_UV
+    world_to_tex: np.ndarray | None = None  # (4,4), spherical mapping only
 
 
 class TextureSystem:
@@ -65,6 +68,20 @@ class TextureSystem:
     def __init__(self, specs: list[TexSpec]):
         self.specs = specs
         self.order = self._topo_order()
+        # per-spec constant table: TEX_CONSTANT value / TEX_SCALE factor.
+        # Lives in the scene pytree (scene["tex_const"]) so gradients flow
+        # to material constants (Kd etc.) — the differentiable-parameter
+        # analogue of the reference's ConstantTexture values.
+        def _const_row(s):
+            v = np.asarray(
+                s.scale if s.kind == TEX_SCALE else s.value, np.float32
+            ).reshape(-1)
+            return np.broadcast_to(v[:3] if v.size >= 3 else v[:1], (3,))
+
+        self.const = jnp.asarray(
+            np.stack([_const_row(s) for s in specs]).astype(np.float32)
+            if specs else np.zeros((0, 3), np.float32)
+        )
         # build atlas
         chunks = []
         offset = 0
@@ -106,11 +123,14 @@ class TextureSystem:
 
     # -- evaluation --------------------------------------------------------
 
-    def _eval_image(self, spec_id, uv):
+    def _eval_image(self, spec_id, uv, atlas=None):
         s = self.specs[spec_id]
+        if atlas is None:
+            atlas = self.atlas
         off, h, w = self.image_info[spec_id]
-        u = uv[..., 0] * s.map_scale[0] + s.map_offset[0]
-        v = uv[..., 1] * s.map_scale[1] + s.map_offset[1]
+        # uv arrives pre-mapped by _spec_uv (scale/offset or spherical)
+        u = uv[..., 0]
+        v = uv[..., 1]
 
         def addr(x, n):
             if s.address == ADDRESS_REPEAT:
@@ -128,7 +148,7 @@ class TextureSystem:
             xi, yi = addr(xi, w), addr(yi, h)
             base = off + (yi * w + xi) * 3
             rgb = jnp.stack(
-                [jnp.take(self.atlas, base + k, mode="clip") for k in range(3)],
+                [jnp.take(atlas, base + k, mode="clip") for k in range(3)],
                 axis=-1,
             )
             if inside is not None:
@@ -152,7 +172,7 @@ class TextureSystem:
                 xi, yi = addr(xi, w), addr(yi, h)
                 base = off + (yi * w + xi) * 3
                 rgb = jnp.stack(
-                    [jnp.take(self.atlas, base + k, mode="clip") for k in range(3)],
+                    [jnp.take(atlas, base + k, mode="clip") for k in range(3)],
                     axis=-1,
                 )
                 if inside is not None:
@@ -163,30 +183,89 @@ class TextureSystem:
                 out = out + wgt * rgb
         return out
 
-    def eval_all(self, uv):
-        """Evaluate every texture at uv (..., 2) -> (X, ..., 3) stack."""
+    def _spec_uv(self, s, uv, p):
+        """Per-spec texture coordinates: uv mapping (scale+offset) or
+        spherical mapping of the world position (reference
+        SphericalMapping, src/GoblinTexture.cpp:293-307)."""
+        if s.mapping == MAP_SPHERICAL and p is not None:
+            m = np.asarray(s.world_to_tex, np.float32)
+            q = p @ m[:3, :3].T + m[:3, 3]
+            ln = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=-1), 1e-30))
+            vec = q / ln[..., None]
+            theta = jnp.arccos(jnp.clip(vec[..., 2], -1.0, 1.0))
+            phi = jnp.arctan2(vec[..., 1], vec[..., 0])
+            phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+            return jnp.stack(
+                [phi / (2 * jnp.pi), theta / jnp.pi], axis=-1
+            )
+        return jnp.stack(
+            [
+                uv[..., 0] * s.map_scale[0] + s.map_offset[0],
+                uv[..., 1] * s.map_scale[1] + s.map_offset[1],
+            ],
+            axis=-1,
+        )
+
+    def eval_all(self, uv, atlas=None, const=None, p=None, duv=None):
+        """Evaluate every texture at uv (..., 2) -> (X, ..., 3) stack.
+
+        atlas/const: scene-pytree arrays (scene["tex_atlas"] /
+        scene["tex_const"]) so texture data sits on the differentiation
+        path; defaults to the baked copies. p: world positions for
+        spherical mappings. duv: optional (..., 2) uv filter footprint for
+        box-filtered checkerboards (reference integrateChecker,
+        src/GoblinTexture.cpp:371-416).
+        """
+        if const is None:
+            const = self.const
         n = len(self.specs)
         vals: list = [None] * n
         for i in self.order:
             s = self.specs[i]
             if s.kind == TEX_CONSTANT:
-                v = jnp.broadcast_to(
-                    jnp.asarray(s.value, dtype=jnp.float32), uv.shape[:-1] + (3,)
-                )
+                v = jnp.broadcast_to(const[i], uv.shape[:-1] + (3,))
             elif s.kind == TEX_CHECKERBOARD:
-                u_ = uv[..., 0] * s.map_scale[0] + s.map_offset[0]
-                v_ = uv[..., 1] * s.map_scale[1] + s.map_offset[1]
-                even = (
-                    jnp.floor(u_).astype(jnp.int32) + jnp.floor(v_).astype(jnp.int32)
-                ) % 2 == 0
+                suv = self._spec_uv(s, uv, p)
+                u_, v_ = suv[..., 0], suv[..., 1]
                 c0 = vals[s.child0] if s.child0 >= 0 else jnp.ones_like(uv[..., :1])
                 c1 = vals[s.child1] if s.child1 >= 0 else jnp.zeros_like(uv[..., :1])
-                v = jnp.where(even[..., None], c0, c1)
+                if s.checker_filter and duv is not None:
+                    # analytic box filter: fraction of the [u-w,u+w]x[v-w,v+w]
+                    # footprint landing on texture1 (checker "even" squares)
+                    wu = jnp.maximum(
+                        jnp.abs(duv[..., 0]) * abs(s.map_scale[0]), 1e-8
+                    )
+                    wv = jnp.maximum(
+                        jnp.abs(duv[..., 1]) * abs(s.map_scale[1]), 1e-8
+                    )
+
+                    def stair(x):
+                        # integral of the 1-period square wave indicator of
+                        # "even cell" from 0 to x
+                        per = jnp.floor(x / 2.0)
+                        r = x - 2.0 * per
+                        return per + jnp.minimum(r, 1.0)
+
+                    def frac_even(c, w):
+                        return (stair(c + w) - stair(c - w)) / (2.0 * w)
+
+                    fe_u = frac_even(u_, wu)
+                    fe_v = frac_even(v_, wv)
+                    # even cell <=> (floor(u)+floor(v)) even: prob both even
+                    # axes agree
+                    w1 = fe_u * fe_v + (1.0 - fe_u) * (1.0 - fe_v)
+                    v = w1[..., None] * c0 + (1.0 - w1[..., None]) * c1
+                else:
+                    even = (
+                        jnp.floor(u_).astype(jnp.int32)
+                        + jnp.floor(v_).astype(jnp.int32)
+                    ) % 2 == 0
+                    v = jnp.where(even[..., None], c0, c1)
             elif s.kind == TEX_SCALE:
                 base = vals[s.child0]
-                v = base * jnp.asarray(s.scale, dtype=jnp.float32)
+                v = base * const[i]
             elif s.kind == TEX_IMAGE:
-                v = self._eval_image(i, uv)
+                v = self._eval_image(i, self._spec_uv(s, uv, p), atlas)
             else:
                 raise ValueError(s.kind)
             vals[i] = v
