@@ -1,15 +1,19 @@
 #!/usr/bin/env python
 """Benchmark: bunny.json path-trace ray throughput on the current device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target: 100 Mrays/s/chip (BASELINE.md).
 
-Methodology: the wavefront executes, per lane, 1 primary closest-hit plus
-(max_depth-1) x (1 shadow any-hit + 1 continuation closest-hit); we count
-all executed lane-rays (masked-off lanes still occupy vector lanes — this
-is the work the hardware actually performs). max_ray_depth=5 matches the
-reference path-tracer default (bunny.json's depth 20 belongs to its SPPM
-config).
+Methodology: times the production render path (common.render — chunked
+wavefront + dense filter splat) end-to-end over several full-frame
+passes. Per lane-sample the wavefront executes 1 primary closest-hit
+plus (max_depth-1) x (1 shadow any-hit + 1 continuation closest-hit)
+= 1 + 2*(depth-1) hardware lane-rays; masked-off lanes still occupy
+vector lanes, so that is the work the hardware performs. The honest
+*useful*-ray count (lanes whose result contributes to the image) is
+reported alongside as "useful_mrays" with per-bounce active fractions.
+max_ray_depth=5 matches the reference path-tracer default (bunny.json's
+depth 20 belongs to its SPPM config).
 """
 
 import json
@@ -31,55 +35,56 @@ def main():
     import numpy as np
 
     from goblin_tpu.assets import ensure_bunny_obj
-    from goblin_tpu.camera import film as film_mod
-    from goblin_tpu.core.rng import hash_uniform
     from goblin_tpu.integrators import common
     from goblin_tpu.integrators.path import make_li
     from goblin_tpu.scene.loader import load_scene
 
     depth = 5
+    spp = 4
+    chunk = 1 << 16
     ensure_bunny_obj(os.path.join(_REPO, "examples", "models", "bunny.obj"))
     scene, meta = load_scene(
         os.path.join(_REPO, "examples", "bunny.json"),
         {"render_method": "path_tracing", "max_ray_depth": depth},
     )
     li = make_li(meta)
-    cam = meta.camera
-    spec = cam.film
-    seed = 0
-    n_grid = 2
-
-    chunk = 1 << 16
-
-    from functools import partial
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(color, weight, pixel_ids, s_idx):
-        x, y = common.pixel_samples(seed, pixel_ids, spec.x_res, s_idx, n_grid)
-        ray = cam.generate_ray(x, y)
-        L = li(scene, meta, ray, pixel_ids, s_idx, seed)
-        return film_mod.splat(spec, color, weight, x, y, L)
-
+    spec = meta.camera.film
     n_pix = spec.x_res * spec.y_res
-    pixel_ids = jnp.asarray(
-        (np.arange(chunk, dtype=np.int64) % n_pix).astype(np.int32)
+
+    from goblin_tpu.camera import film as film_mod
+
+    render_pass, _ = common.make_render_pass(
+        scene, meta, li, spp=spp, seed=0, chunk_size=chunk
     )
     color, weight = film_mod.new_film(spec)
-
     # warmup / compile
-    color, weight = step(color, weight, pixel_ids, jnp.int32(0))
+    color, weight = render_pass(color, weight, jnp.int32(0))
     jax.block_until_ready((color, weight))
 
-    iters = 8
     t0 = time.perf_counter()
-    for i in range(iters):
-        color, weight = step(color, weight, pixel_ids, jnp.int32(i + 1))
+    for s in range(spp):
+        color, weight = render_pass(color, weight, jnp.int32(s))
     jax.block_until_ready((color, weight))
     dt = time.perf_counter() - t0
 
+    # useful-ray census (untimed): per-bounce active/continuation lanes
+    li_stats = make_li(meta, with_stats=True)
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+
+    @jax.jit
+    def stats_step(pix, s_idx):
+        x, y = common.pixel_samples(0, pix, spec.x_res, s_idx, 2)
+        ray = meta.camera.generate_ray(x, y)
+        _, (n_active, n_cont) = li_stats(scene, meta, ray, pix, s_idx, 0)
+        return n_active, n_cont
+
+    n_active, n_cont = jax.device_get(stats_step(pixel_ids, jnp.int32(0)))
+    useful_per_sample = n_pix + int(n_active.sum()) + int(n_cont.sum())
+
     rays_per_lane = 1 + 2 * (depth - 1)
-    total_rays = iters * chunk * rays_per_lane
+    total_rays = spp * n_pix * rays_per_lane
     mrays = total_rays / dt / 1e6
+    useful_mrays = spp * useful_per_sample / dt / 1e6
     print(
         json.dumps(
             {
@@ -87,6 +92,15 @@ def main():
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
+                "useful_mrays": round(useful_mrays, 3),
+                "active_fraction_per_bounce": [
+                    round(float(a) / n_pix, 4) for a in n_active
+                ],
+                "trace_backend": meta.trace_backend,
+                "max_leaf": meta.max_leaf,
+                "spp": spp,
+                "depth": depth,
+                "seconds_per_pass": round(dt / spp, 4),
             }
         )
     )

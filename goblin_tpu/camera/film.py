@@ -203,6 +203,57 @@ def splat(spec: FilmSpec, color, weight, x, y, L, normalized=False):
     return color, weight
 
 
+def splat_dense(spec: FilmSpec, color, weight, jx, jy, L, ys0=0, xs0=0):
+    """Dense filter splat for the one-stratified-sample-per-pixel pass.
+
+    When a render pass produces exactly one sample per crop pixel in image
+    layout, filter splatting is a small non-stationary convolution: pixel
+    (iy, ix) sums w(0.5 - o - jitter) * L over the static window of
+    neighboring samples — dense shifted multiply-adds, no scatter. This
+    replaces the (H*W*taps)-point scatter-add (which dominated the whole
+    render step on TPU) for the camera-sampled integrators; splatting
+    integrators (LT/BDPT) keep the general scatter `splat`.
+
+    jx, jy: (yc, xc) per-pixel jitters in [0,1); L: (yc, xc, 3) radiance.
+    Returns updated full-film (color, weight); non-finite samples are
+    discarded (reference ImageTile::addSample NaN guard,
+    src/GoblinFilm.cpp:61-90).
+    """
+    f = spec.filter
+    yc, xc = jx.shape
+    Kx2 = int(np.floor(f.x_width + 0.5))
+    Ky2 = int(np.floor(f.y_width + 0.5))
+    fin = jnp.all(jnp.isfinite(L), axis=-1)
+    Lz = jnp.where(fin[..., None], L, 0.0)
+
+    def pad2(a, fill=0.0):
+        return jnp.pad(a, ((Ky2, Ky2), (Kx2, Kx2)) + ((0, 0),) * (a.ndim - 2),
+                       constant_values=fill)
+
+    Lp = pad2(Lz)
+    jxp = pad2(jx)
+    jyp = pad2(jy)
+    finp = pad2(fin.astype(jnp.float32))
+    acc_c = jnp.zeros((yc, xc, 3), jnp.float32)
+    acc_w = jnp.zeros((yc, xc), jnp.float32)
+    for oy in range(-Ky2, Ky2 + 1):
+        for ox in range(-Kx2, Kx2 + 1):
+            # sample of pixel (iy+oy, ix+ox) seen from target (iy, ix)
+            sl = (slice(Ky2 + oy, Ky2 + oy + yc), slice(Kx2 + ox, Kx2 + ox + xc))
+            fdx = 0.5 - ox - jxp[sl]
+            fdy = 0.5 - oy - jyp[sl]
+            w = f.evaluate(fdx, fdy)
+            w = jnp.where(
+                (jnp.abs(fdx) <= f.x_width) & (jnp.abs(fdy) <= f.y_width),
+                w * finp[sl], 0.0,
+            )
+            acc_c = acc_c + w[..., None] * Lp[sl]
+            acc_w = acc_w + w
+    color = color.at[ys0:ys0 + yc, xs0:xs0 + xc].add(acc_c)
+    weight = weight.at[ys0:ys0 + yc, xs0:xs0 + xc].add(acc_w)
+    return color, weight
+
+
 def to_image(color, weight, normalize: bool = True):
     """Resolve accumulation to an image (reference Film::writeImage)."""
     if normalize:

@@ -37,6 +37,8 @@ def spp_grid(spp: int) -> int:
     return int(np.ceil(np.sqrt(max(1, spp))))
 
 
+
+
 def pixel_samples(seed, pixel_ids, x_res, s_idx, n_grid):
     """Stratified-jittered continuous image coords for sample index s_idx."""
     px = (pixel_ids % x_res).astype(jnp.float32)
@@ -50,20 +52,16 @@ def pixel_samples(seed, pixel_ids, x_res, s_idx, n_grid):
     return x, y
 
 
-def render(scene, meta, li_fn, spp=None, seed=None, chunk_size=1 << 14,
-           report=None):
-    """Render with a batched radiance function.
+def make_render_pass(scene, meta, li_fn, spp, seed, chunk_size=1 << 14):
+    """Build the jitted single-pass render fn (one full-frame stratified
+    sample per crop pixel -> dense filter splat into the film).
 
-    li_fn(scene, meta, ray, pixel_ids, s_idx, seed) -> (R, 3) radiance.
-    Returns the resolved image (H, W, 3) jnp array.
+    Returns (render_pass, n_spp) where render_pass(color, weight, s_idx)
+    -> updated (color, weight) with donated film buffers. Exposed
+    separately from render() so bench.py times the exact production pass.
     """
     cam = meta.camera
     spec = cam.film
-    settings = meta.settings
-    if spp is None:
-        spp = int(settings.get("sample_per_pixel", 1))
-    if seed is None:
-        seed = int(settings.get("seed", 0))
     n_grid = spp_grid(spp)
     n_spp = n_grid * n_grid
 
@@ -73,36 +71,71 @@ def render(scene, meta, li_fn, spp=None, seed=None, chunk_size=1 << 14,
          + np.arange(xs_, xs_ + xc)[None, :]).reshape(-1).astype(np.int32)
     )
     n_pix = pixel_ids_all.size
+    # don't pad a small frame up to a huge chunk
+    chunk_size = min(chunk_size, ((n_pix + 1023) // 1024) * 1024)
     n_chunks = (n_pix + chunk_size - 1) // chunk_size
-    # pad to full chunks with repeated last pixel, weight-masked out
+    # pad to full chunks with repeated last pixel, dropped before splat
     pad = n_chunks * chunk_size - n_pix
-    valid_all = np.ones(n_pix + pad, bool)
     if pad:
         pixel_ids_all = np.concatenate(
             [pixel_ids_all, np.full(pad, pixel_ids_all[-1], np.int32)]
         )
-        valid_all[n_pix:] = False
 
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
-    def render_chunk(color, weight, pixel_ids, valid, s_idx):
-        x, y = pixel_samples(seed, pixel_ids, spec.x_res, s_idx, n_grid)
-        lu = hash_uniform(seed, pixel_ids, s_idx, BOUNCE_CAMERA, DIM_LENS_U)
-        lv = hash_uniform(seed, pixel_ids, s_idx, BOUNCE_CAMERA, DIM_LENS_V)
-        ray = cam.generate_ray(x, y, lu, lv)
-        L = li_fn(scene, meta, ray, pixel_ids, s_idx, seed)
-        L = jnp.where(valid[:, None], L, jnp.nan)  # NaN -> splat discards
-        return film_mod.splat(spec, color, weight, x, y, L)
+    pix_dev = jnp.asarray(pixel_ids_all)
 
-    color, weight = film_mod.new_film(spec)
-    for s in range(n_spp):
-        for c in range(n_chunks):
-            sl = slice(c * chunk_size, (c + 1) * chunk_size)
-            color, weight = render_chunk(
-                color, weight,
-                jnp.asarray(pixel_ids_all[sl]),
-                jnp.asarray(valid_all[sl]),
-                jnp.int32(s),
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def render_pass(color, weight, s_idx):
+        # one device dispatch per pass: chunked radiance inside a fori,
+        # then a dense (scatter-free) filter splat of the pass image
+        def chunk_body(c, L_acc):
+            pixel_ids = jax.lax.dynamic_slice(
+                pix_dev, (c * chunk_size,), (chunk_size,)
             )
+            x, y = pixel_samples(seed, pixel_ids, spec.x_res, s_idx, n_grid)
+            lu = hash_uniform(seed, pixel_ids, s_idx, BOUNCE_CAMERA, DIM_LENS_U)
+            lv = hash_uniform(seed, pixel_ids, s_idx, BOUNCE_CAMERA, DIM_LENS_V)
+            ray = cam.generate_ray(x, y, lu, lv)
+            L = li_fn(scene, meta, ray, pixel_ids, s_idx, seed)
+            return jax.lax.dynamic_update_slice(L_acc, L, (c * chunk_size, 0))
+
+        L_flat = jax.lax.fori_loop(
+            0, n_chunks, chunk_body,
+            jnp.zeros((n_chunks * chunk_size, 3), jnp.float32),
+        )
+        ids = pix_dev[:n_pix]
+        jx = hash_uniform(seed, ids, s_idx, BOUNCE_CAMERA, DIM_PIXEL_X)
+        jy = hash_uniform(seed, ids, s_idx, BOUNCE_CAMERA, DIM_PIXEL_Y)
+        sx = (s_idx % n_grid).astype(jnp.float32)
+        sy = (s_idx // n_grid).astype(jnp.float32)
+        jx = (sx + jx) / n_grid
+        jy = (sy + jy) / n_grid
+        return film_mod.splat_dense(
+            spec, color, weight,
+            jx.reshape(yc, xc), jy.reshape(yc, xc),
+            L_flat[:n_pix].reshape(yc, xc, 3), ys_, xs_,
+        )
+
+    return render_pass, n_spp
+
+
+def render(scene, meta, li_fn, spp=None, seed=None, chunk_size=1 << 14,
+           report=None):
+    """Render with a batched radiance function.
+
+    li_fn(scene, meta, ray, pixel_ids, s_idx, seed) -> (R, 3) radiance.
+    Returns the resolved image (H, W, 3) jnp array.
+    """
+    settings = meta.settings
+    if spp is None:
+        spp = int(settings.get("sample_per_pixel", 1))
+    if seed is None:
+        seed = int(settings.get("seed", 0))
+    render_pass, n_spp = make_render_pass(
+        scene, meta, li_fn, spp, seed, chunk_size
+    )
+    color, weight = film_mod.new_film(meta.camera.film)
+    for s in range(n_spp):
+        color, weight = render_pass(color, weight, jnp.int32(s))
         if report is not None:
             report(s + 1, n_spp)
     return film_mod.to_image(color, weight, normalize=True)

@@ -71,7 +71,10 @@ def _env_le(scene, meta, d):
     return envmap.eval_env(scene, meta, d)
 
 
-def make_li(meta, max_depth=None):
+def make_li(meta, max_depth=None, with_stats=False):
+    """Build the batched radiance fn. with_stats=True returns
+    (L, (active_per_bounce, cont_per_bounce)) so callers (bench.py) can
+    report useful-ray counts alongside hardware-lane throughput."""
     if max_depth is None:
         max_depth = int(meta.settings.get("max_ray_depth", 5))
 
@@ -90,6 +93,9 @@ def make_li(meta, max_depth=None):
         )
 
         if meta.n_lights == 0:
+            if with_stats:
+                z = jnp.zeros(max_depth - 1, jnp.int32)
+                return L, (z, z)
             return L
 
         def bounce_body(state, b):
@@ -226,7 +232,8 @@ def make_li(meta, max_depth=None):
                 ),
                 frag, frag2,
             )
-            return (L, throughput, new_frag, active), None
+            ys = (jnp.sum(active), jnp.sum(cont_ok)) if with_stats else None
+            return (L, throughput, new_frag, active), ys
 
         init = (
             L,
@@ -236,7 +243,7 @@ def make_li(meta, max_depth=None):
         )
         # scan (not fori_loop) so the bounce loop is reverse-mode
         # differentiable for the gradient path
-        (L, _, _, _), _ = jax.lax.scan(
+        (L, _, _, _), ys = jax.lax.scan(
             bounce_body, init, jnp.arange(max_depth - 1)
         )
         if meta.volume is not None:
@@ -244,6 +251,8 @@ def make_li(meta, max_depth=None):
 
             L = apply_volume(scene, meta, ray, frag["t"], L, pixel_ids,
                              s_idx, seed)
+        if with_stats:
+            return L, ys
         return L
 
     return li

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 PACKET = 1024  # rays per packet: (8, 128) f32 tile
 STACK_DEPTH = 96
 BIG_T = 3.0e38
+MAX_LEAF_PAD = 64  # largest max_leaf the triangle padding supports
 
 
 def pack_scene_smem(bounds: np.ndarray, meta: np.ndarray,
@@ -45,7 +46,10 @@ def pack_scene_smem(bounds: np.ndarray, meta: np.ndarray,
     lane-packed triangles for VMEM."""
     N = bounds.shape[0]
     T = tri_soup.shape[0]
-    tg = (T + 7) // 8 + 1  # +1 pad group: leaf loops may read first+k past T
+    # pad groups: leaf loops read first+k for k < max_leaf unconditionally
+    # (misses masked by k<count), so the last leaf can index up to
+    # T + MAX_LEAF_PAD - 2 — pad enough groups for max_leaf <= MAX_LEAF_PAD
+    tg = (T + 7) // 8 + (MAX_LEAF_PAD + 7) // 8
     tris_packed = np.zeros((tg, 128), np.float32)
     tflat = tris_packed.reshape(tg * 8, 16)
     tflat[:T, 0:9] = tri_soup
@@ -74,7 +78,7 @@ def pack_scene(bounds: np.ndarray, meta: np.ndarray, tri_soup: np.ndarray):
     meta_packed = np.zeros((mg, 128), np.int32)
     mflat = meta_packed.reshape(mg * 32, 4)
     mflat[:N, 0:3] = meta
-    tg = (T + 7) // 8 + 1  # +1 pad group (see pack_scene_smem)
+    tg = (T + 7) // 8 + (MAX_LEAF_PAD + 7) // 8  # pad (see pack_scene_smem)
     tris_packed = np.zeros((tg, 128), np.float32)
     tflat = tris_packed.reshape(tg * 8, 16)
     tflat[:T, 0:9] = tri_soup
@@ -98,7 +102,7 @@ def _extract_i(row, off, k):
     return jnp.sum(jnp.where(lane == off + k, row, 0))
 
 
-def _make_kernel(max_leaf: int, any_hit: bool):
+def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8):
     def kernel(nodes_ref, meta_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref,
@@ -263,9 +267,9 @@ def _make_kernel(max_leaf: int, any_hit: bool):
         init = (
             jnp.int32(1),
             maxt,
-            jnp.full((8, 128), -1, jnp.int32),
-            jnp.zeros((8, 128), jnp.float32),
-            jnp.zeros((8, 128), jnp.float32),
+            jnp.full((rows, 128), -1, jnp.int32),
+            jnp.zeros((rows, 128), jnp.float32),
+            jnp.zeros((rows, 128), jnp.float32),
         )
         _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
             cond, body, init
@@ -278,35 +282,37 @@ def _make_kernel(max_leaf: int, any_hit: bool):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "interpret"))
+@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows", "interpret"))
 def trace_packets(
     nodes, meta, tris,  # packed device arrays
-    o, d, mint, maxt,  # (R, 3), (R, 3), (R,), (R,) with R % 1024 == 0
+    o, d, mint, maxt,  # (R, 3), (R, 3), (R,), (R,) with R % (rows*128) == 0
     max_leaf: int = 4,
     any_hit: bool = False,
+    rows: int = 8,
     interpret: bool = False,
 ):
     """Packet trace. Returns (hit, t, tri, b1, b2) shaped (R,)."""
     R = o.shape[0]
-    P = R // PACKET
+    packet = rows * 128
+    P = R // packet
 
     def shape8(x):
-        return x.reshape(P, 8, 128)
+        return x.reshape(P, rows, 128)
 
     comps = [
         shape8(o[:, 0]), shape8(o[:, 1]), shape8(o[:, 2]),
         shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
         shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
     ]
-    kernel = _make_kernel(max_leaf, any_hit)
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda p: (p, 0, 0),
+    kernel = _make_kernel(max_leaf, any_hit, rows)
+    ray_spec = pl.BlockSpec((1, rows, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((P, 8, 128), jnp.int32),
-        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, rows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((P, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, rows, 128), jnp.float32),
     ]
     t, tri, b1, b2 = pl.pallas_call(
         kernel,

@@ -80,6 +80,26 @@ class SceneMeta:
     has_env: bool = False
     env_light_id: int = -1
     output_path: str = "goblin.exr"
+    # ray-trace backend: "pallas" = TPU packet kernel (ops/pallas_trace),
+    # "jnp" = lockstep skip-link traversal (accel/traverse)
+    trace_backend: str = "jnp"
+    trace_rows: int = 32  # packet = trace_rows * 128 rays (pallas only)
+
+
+def default_trace_backend() -> str:
+    """Pallas packet kernel on TPU; jnp lockstep elsewhere. Overridable
+    via GOBLIN_TRACE=pallas|jnp."""
+    import os
+
+    env = os.environ.get("GOBLIN_TRACE")
+    if env in ("pallas", "jnp"):
+        return env
+    import jax
+
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    except Exception:
+        return "jnp"
 
 
 def _transform_mesh(mesh, m):
@@ -136,7 +156,14 @@ class SceneBuilder:
 
     # -- bake --------------------------------------------------------------
 
-    def bake(self, max_leaf: int = 4):
+    def bake(self, max_leaf: int | None = None, trace_backend: str | None = None,
+             trace_rows: int = 32):
+        if trace_backend is None:
+            trace_backend = default_trace_backend()
+        if max_leaf is None:
+            # larger leaves amortize the packet kernel's scalar traversal;
+            # the jnp path unrolls max_leaf gathers per step so stays small
+            max_leaf = 16 if trace_backend == "pallas" else 4
         tri_v = [np.zeros((0, 3, 3), np.float32)]
         tri_n = [np.zeros((0, 3, 3), np.float32)]
         tri_uv = [np.zeros((0, 3, 2), np.float32)]
@@ -266,14 +293,13 @@ class SceneBuilder:
         ftex_sys = TextureSystem(self.float_textures)
 
         M = len(self.materials)
+        soup_np = np.concatenate(
+            [V[:, 0], V[:, 1] - V[:, 0], V[:, 2] - V[:, 0]], axis=-1
+        ).astype(np.float32)
         scene = {
             "node_bounds": jnp.asarray(bvh.bounds),
             "node_meta": jnp.asarray(bvh.meta),
-            "tri_soup": jnp.asarray(
-                np.concatenate(
-                    [V[:, 0], V[:, 1] - V[:, 0], V[:, 2] - V[:, 0]], axis=-1
-                )
-            ),
+            "tri_soup": jnp.asarray(soup_np),
             "tri_n": jnp.asarray(N),
             "tri_uv": jnp.asarray(UV),
             "tri_mat": jnp.asarray(MAT),
@@ -310,6 +336,14 @@ class SceneBuilder:
             "tex_const": tex_sys.const,
             "ftex_const": ftex_sys.const,
         }
+        if trace_backend == "pallas":
+            from ..ops.pallas_trace import pack_scene
+
+            packed = pack_scene(bvh.bounds, bvh.meta, soup_np)
+            scene["pk_nodes"] = jnp.asarray(packed["nodes"])
+            scene["pk_meta"] = jnp.asarray(packed["meta"])
+            scene["pk_tris"] = jnp.asarray(packed["tris"])
+
         if self.vol_grid is not None:
             scene["vol_grid"] = jnp.asarray(self.vol_grid)
 
@@ -349,5 +383,7 @@ class SceneBuilder:
             has_env=self.env_light_id >= 0,
             env_light_id=self.env_light_id,
             output_path=self.output_path,
+            trace_backend=trace_backend,
+            trace_rows=trace_rows,
         )
         return scene, meta

@@ -17,12 +17,46 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..accel.traverse import trace, occluded as bvh_occluded
+from ..accel.traverse import TraceResult, trace
 from ..core import vecmath as vm
 from ..geometry.intersect import BIG_T, intersect_sphere
 from .bake import SceneMeta
 
 HIT_EPS_SCALE = 1e-3
+
+
+def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
+    """BVH trace over the wavefront, dispatched by meta.trace_backend.
+
+    pallas: the VMEM packet kernel (ops/pallas_trace.trace_packets) —
+    rays padded to a whole number of trace_rows*128 packets with dead
+    rays (mint=BIG_T, maxt=0) whose box tests always fail. jnp: the
+    lockstep skip-link traversal. Both replace the reference's per-thread
+    stack walk (src/GoblinBVH.cpp:156-280).
+    """
+    if meta.trace_backend != "pallas" or "pk_nodes" not in scene:
+        return trace(
+            scene["node_bounds"], scene["node_meta"], scene["tri_soup"],
+            o, d, mint, maxt, max_leaf=meta.max_leaf, any_hit=any_hit,
+        )
+    from ..ops.pallas_trace import trace_packets
+
+    R = o.shape[0]
+    packet = meta.trace_rows * 128
+    pad = (-R) % packet
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        mint = jnp.concatenate([mint, jnp.full((pad,), BIG_T, mint.dtype)])
+        maxt = jnp.concatenate([maxt, jnp.zeros((pad,), maxt.dtype)])
+    hit, t, tri, b1, b2 = trace_packets(
+        scene["pk_nodes"], scene["pk_meta"], scene["pk_tris"],
+        o, d, mint, maxt,
+        max_leaf=meta.max_leaf, any_hit=any_hit, rows=meta.trace_rows,
+    )
+    if pad:
+        hit, t, tri, b1, b2 = (v[:R] for v in (hit, t, tri, b1, b2))
+    return TraceResult(hit, t, tri, b1, b2)
 
 
 def _sphere_pass(scene, o, d, mint, cur_t):
@@ -50,13 +84,10 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
     (SURVEY.md §7: differentiable layer — reparameterized visibility for
     geometry gradients is future work).
     """
-    res = trace(
-        jax.lax.stop_gradient(scene["node_bounds"]),
-        jax.lax.stop_gradient(scene["node_meta"]),
-        jax.lax.stop_gradient(scene["tri_soup"]),
+    res = trace_rays(
+        jax.lax.stop_gradient(scene), meta,
         jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
         jax.lax.stop_gradient(mint), jax.lax.stop_gradient(maxt),
-        max_leaf=meta.max_leaf,
     )
     t = res.t
     tri = res.tri
@@ -178,10 +209,9 @@ def occluded(scene, meta: SceneMeta, o, d, mint, maxt):
     discrete decision: inputs are detached so the traversal while_loop
     never sits on the differentiation path."""
     o, d, mint, maxt = (jax.lax.stop_gradient(v) for v in (o, d, mint, maxt))
-    occ = bvh_occluded(
-        scene["node_bounds"], scene["node_meta"], scene["tri_soup"],
-        o, d, mint, maxt, max_leaf=meta.max_leaf,
-    )
+    occ = trace_rays(
+        jax.lax.stop_gradient(scene), meta, o, d, mint, maxt, any_hit=True
+    ).hit
     if meta.n_spheres > 0:
         sph_id, _ = _sphere_pass(scene, o, d, mint, maxt)
         occ = occ | (sph_id >= 0)
