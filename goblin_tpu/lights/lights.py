@@ -153,6 +153,16 @@ def pick_light(lights, u):
     return idx, pdf
 
 
+def _rescale_cdf_u(em_cdf, tri, seg0, u):
+    """Remap u into [0,1) within its chosen cdf cell: (u - lo)/(hi - lo)
+    where lo = cdf[tri-1] (0 at the segment start) and hi = cdf[tri].
+    Conditional on landing in cell tri, u is uniform on [lo, hi), so the
+    remap is uniform on [0,1) — required before any nonlinear warp."""
+    hi = em_cdf[tri]
+    lo = jnp.where(tri > seg0, em_cdf[jnp.maximum(tri - 1, 0)], 0.0)
+    return jnp.clip((u - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0 - 1e-7)
+
+
 def spot_falloff(lights, lid, w):
     """Spot cone falloff for world direction w leaving the light."""
     d = lights["direction"][lid]
@@ -203,12 +213,16 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
         tri = jnp.clip(
             seg0 + jnp.sum(below.astype(jnp.int32), axis=-1), 0, E - 1
         )
-        # stratified re-use of u1 within the chosen cell keeps it uniform
+        # rescale u1 within the chosen cdf cell so the barycentric warp
+        # sees a full-range uniform (reference CDF1D::sampleDiscrete's
+        # remapped u, src/GoblinSampler.cpp:420-440). Raw re-use would
+        # confine sqrt(u1) to a radial band per triangle — biased.
+        u1r = _rescale_cdf_u(lights["em_cdf"], tri, seg0, u1)
         v0 = tri_data["em_v0"][tri]
         e1 = tri_data["em_e1"][tri]
         e2 = tri_data["em_e2"][tri]
         n = tri_data["em_n"][tri]
-        bu, bv = sp.uniform_sample_triangle(u1, u2)
+        bu, bv = sp.uniform_sample_triangle(u1r, u2)
         ps = v0 + bu[..., None] * e1 + bv[..., None] * e2
         to_s = ps - p
         d2 = jnp.maximum(vm.squared_length(to_s), 1e-20)
@@ -311,7 +325,8 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
         below = in_seg & (lights["em_cdf"][None, :] < u_p1[..., None])
         tri = jnp.clip(seg0 + jnp.sum(below.astype(jnp.int32), axis=-1), 0,
                        E - 1)
-        bu, bv = sp.uniform_sample_triangle(u_p1, u_p2)
+        u1r = _rescale_cdf_u(lights["em_cdf"], tri, seg0, u_p1)
+        bu, bv = sp.uniform_sample_triangle(u1r, u_p2)
         p_area = (
             tri_data["em_v0"][tri]
             + bu[..., None] * tri_data["em_e1"][tri]
