@@ -12,12 +12,15 @@ from goblin_tpu.accel.bvh import build_bvh
 from goblin_tpu.ops.pallas_trace import pack_scene_smem, trace_packets_smem
 
 
-def timeit(f, *a, iters=3):
+def timeit(f, *a, iters=5):
     o = f(*a); jax.block_until_ready(o)
-    t0 = time.perf_counter()
-    for _ in range(iters): o = f(*a)
-    jax.block_until_ready(o)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        o = f(*a)
+        jax.block_until_ready(o)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -72,18 +75,20 @@ def main():
         bf = jnp.asarray(sm["bounds_flat"]); mf = jnp.asarray(sm["meta_flat"])
         tj = jnp.asarray(sm["tris"])
 
+        dev = {name: (jax.device_put(jnp.asarray(o)), jax.device_put(jnp.asarray(d)))
+               for name, o, d in [("tile", o_t, d_t), ("row", o_r, d_r),
+                                  ("inc", o_i, d_i)]}
+
         def run(o, d):
-            return trace_packets_smem(bf, mf, tj, jnp.asarray(o),
-                                      jnp.asarray(d), mint, maxt, max_leaf=K)
+            return trace_packets_smem(bf, mf, tj, o, d, mint, maxt, max_leaf=K)
 
         line = f"K={K:3d} nodes={bvh.num_nodes:6d} smem={smem_kb:6.0f}KB"
-        for name, o, d in [("tile", o_t, d_t), ("row", o_r, d_r),
-                           ("inc", o_i, d_i)]:
+        for name, (o, d) in dev.items():
             try:
                 dt = timeit(run, o, d)
                 line += f"  {name}={R/dt/1e6:7.2f}M"
             except Exception as e:
-                line += f"  {name}=FAIL({type(e).__name__})"
+                line += f"  {name}=FAIL({type(e).__name__}: {str(e)[:80]})"
         print(line, flush=True)
 
 
