@@ -39,6 +39,37 @@ def spp_grid(spp: int) -> int:
 
 
 
+def stratified_1d(seed, pixel_ids, s_idx, n_spp, bounce, dim):
+    """Stratified-shuffled 1D sample for integrator dims: sample index
+    s_idx maps to stratum (s + per-(pixel,bounce,dim) rotation) mod n_spp,
+    jittered — each pixel's stream visits every stratum exactly once over
+    an spp cycle (the wavefront analogue of the reference Sampler's
+    sub-strata shuffle, src/GoblinSampler.cpp:127-150; a random rotation
+    is a permutation, so per-sample uniformity and stratified coverage
+    both hold)."""
+    off = jnp.floor(
+        hash_uniform(seed, pixel_ids, 0x57A7, bounce, dim) * n_spp
+    ).astype(jnp.int32)
+    cell = (s_idx + off) % n_spp
+    j = hash_uniform(seed, pixel_ids, s_idx, bounce, dim)
+    return (cell.astype(jnp.float32) + j) / n_spp
+
+
+def stratified_2d(seed, pixel_ids, s_idx, n_spp, bounce, dim_a, dim_b):
+    """Stratified-shuffled 2D pair over the n_grid x n_grid cell grid
+    (n_spp is always a perfect square — reference roundToSquare)."""
+    g = int(np.sqrt(n_spp))
+    off = jnp.floor(
+        hash_uniform(seed, pixel_ids, 0x57A8, bounce, dim_a) * n_spp
+    ).astype(jnp.int32)
+    cell = (s_idx + off) % n_spp
+    j1 = hash_uniform(seed, pixel_ids, s_idx, bounce, dim_a)
+    j2 = hash_uniform(seed, pixel_ids, s_idx, bounce, dim_b)
+    u1 = ((cell % g).astype(jnp.float32) + j1) / g
+    u2 = ((cell // g).astype(jnp.float32) + j2) / g
+    return u1, u2
+
+
 def pixel_samples(seed, pixel_ids, x_res, s_idx, n_grid):
     """Stratified-jittered continuous image coords for sample index s_idx."""
     px = (pixel_ids % x_res).astype(jnp.float32)
@@ -66,11 +97,26 @@ def make_render_pass(scene, meta, li_fn, spp, seed, chunk_size=1 << 14):
     n_spp = n_grid * n_grid
 
     xs_, xc, ys_, yc = spec.crop_window()
-    pixel_ids_all = (
+    row_major = (
         (np.arange(ys_, ys_ + yc)[:, None] * spec.x_res
          + np.arange(xs_, xs_ + xc)[None, :]).reshape(-1).astype(np.int32)
     )
-    n_pix = pixel_ids_all.size
+    n_pix = row_major.size
+    # Tile-coherent traversal order: the packet trace kernel walks the
+    # union of its rays' BVH node sets, so each trace_rows*128-ray packet
+    # should cover a compact screen tile, not a row-major strip (measured
+    # ~2x on bunny primaries). perm maps tile order -> row-major index.
+    tile = max(8, int(np.sqrt(meta.trace_rows * 128)))
+    idx = np.arange(n_pix, dtype=np.int32).reshape(yc, xc)
+    perm = np.concatenate([
+        idx[ty:ty + tile, tx:tx + tile].reshape(-1)
+        for ty in range(0, yc, tile)
+        for tx in range(0, xc, tile)
+    ])
+    pixel_ids_all = row_major[perm]
+    inv_perm = np.empty(n_pix, np.int32)
+    inv_perm[perm] = np.arange(n_pix, dtype=np.int32)
+    inv_perm_dev = jnp.asarray(inv_perm)
     # don't pad a small frame up to a huge chunk
     chunk_size = min(chunk_size, ((n_pix + 1023) // 1024) * 1024)
     n_chunks = (n_pix + chunk_size - 1) // chunk_size
@@ -102,7 +148,9 @@ def make_render_pass(scene, meta, li_fn, spp, seed, chunk_size=1 << 14):
             0, n_chunks, chunk_body,
             jnp.zeros((n_chunks * chunk_size, 3), jnp.float32),
         )
-        ids = pix_dev[:n_pix]
+        # back to row-major for the dense splat
+        L_rm = jnp.take(L_flat[:n_pix], inv_perm_dev, axis=0)
+        ids = jnp.asarray(row_major)
         jx = hash_uniform(seed, ids, s_idx, BOUNCE_CAMERA, DIM_PIXEL_X)
         jy = hash_uniform(seed, ids, s_idx, BOUNCE_CAMERA, DIM_PIXEL_Y)
         sx = (s_idx % n_grid).astype(jnp.float32)
@@ -112,7 +160,7 @@ def make_render_pass(scene, meta, li_fn, spp, seed, chunk_size=1 << 14):
         return film_mod.splat_dense(
             spec, color, weight,
             jx.reshape(yc, xc), jy.reshape(yc, xc),
-            L_flat[:n_pix].reshape(yc, xc, 3), ys_, xs_,
+            L_rm.reshape(yc, xc, 3), ys_, xs_,
         )
 
     return render_pass, n_spp

@@ -23,11 +23,12 @@ def gather_material(scene, meta, frag, u_mask=None):
 
     tex_stack = meta.texture_system.eval_all(
         frag["uv"], atlas=scene.get("tex_atlas"), const=scene.get("tex_const"),
-        p=frag.get("p"), duv=frag.get("duv"),
+        p=frag.get("p"), duv=frag.get("duv"), duv4=frag.get("duv4"),
     )  # (X, R, 3)
     ftex_stack = meta.float_texture_system.eval_all(
         frag["uv"], atlas=scene.get("ftex_atlas"),
         const=scene.get("ftex_const"), p=frag.get("p"), duv=frag.get("duv"),
+        duv4=frag.get("duv4"),
     )
 
     def gc(ids):

@@ -13,11 +13,16 @@ Faithful batched re-derivation of the reference PT
 - inactive lanes are masked, the bounce loop is a lax.fori_loop (one
   compiled body, static shapes)
 
-Differences vs reference (documented): the index-matched BSDF_NULL
-punch-through uses the regular intersect (no IntersectFilter fast path)
-— the null lobe is treated as a regular continuation which consumes a
-bounce, matching the reference's `continue` (which also advances the
-bounce counter).
+Index-matched BSDF_NULL handling: NEE shadow rays use
+occluded_attenuated — mask surfaces never occlude, they attenuate by
+their null lobe without consuming depth (reference
+occluded(ray, &isOpaque) + evalAttenuation,
+src/GoblinPathtracer.cpp:5-48,95-113). A null lobe drawn as the BSDF
+continuation consumes a bounce, matching the reference's `continue`
+(which also advances the bounce counter). Documented difference: the
+BSDF-MIS light-hit check intersects unfiltered, so a null surface in
+front of the picked light contributes via the null-continuation path
+instead of the filtered shortcut.
 """
 
 from __future__ import annotations
@@ -77,6 +82,11 @@ def make_li(meta, max_depth=None, with_stats=False):
     report useful-ray counts alongside hardware-lane throughput."""
     if max_depth is None:
         max_depth = int(meta.settings.get("max_ray_depth", 5))
+    from .common import spp_grid, stratified_1d, stratified_2d
+
+    # integrator dims are stratified over the declared spp (reference
+    # Sampler stratifies every declared pattern, GoblinSampler.cpp:93-197)
+    n_spp = spp_grid(int(meta.settings.get("sample_per_pixel", 1))) ** 2
 
     def li(scene, meta_, ray, pixel_ids, s_idx, seed):
         lights = scene["lights"]
@@ -84,13 +94,23 @@ def make_li(meta, max_depth=None, with_stats=False):
         R = ray["o"].shape[0]
 
         frag = scn.intersect(
-            scene, meta, ray["o"], ray["d"], ray["mint"], ray["maxt"]
+            scene, meta, ray["o"], ray["d"], ray["mint"], ray["maxt"],
+            dxd=ray.get("dxd"), dyd=ray.get("dyd"),
         )
         miss = ~frag["hit"]
         L = jnp.where(miss[:, None], _env_le(scene, meta, ray["d"]), 0.0)
         L = L + jnp.where(
             frag["hit"][:, None], _area_light_Le(scene, frag, frag["wo"]), 0.0
         )
+        if meta.has_bssrdf and meta.n_lights > 0:
+            # subsurface transport at the camera hit (reference PT adds
+            # Lsubsurface once, before the bounce loop —
+            # src/GoblinPathtracer.cpp:68-70)
+            from .bssrdf import subsurface_L
+
+            L = L + subsurface_L(
+                scene, meta, frag, frag["hit"], pixel_ids, s_idx, seed
+            )
 
         if meta.n_lights == 0:
             if with_stats:
@@ -110,12 +130,13 @@ def make_li(meta, max_depth=None, with_stats=False):
             )
 
             # ---- pick light by power CDF
-            u_pick = hash_uniform(seed, pixel_ids, s_idx, b, DIM_PICK)
+            u_pick = stratified_1d(seed, pixel_ids, s_idx, n_spp, b,
+                                   DIM_PICK)
             lid, pick_pdf = lt.pick_light(lights, u_pick)
 
             # ---- light-sample side (NEE)
-            u1 = hash_uniform(seed, pixel_ids, s_idx, b, DIM_LIGHT_U1)
-            u2 = hash_uniform(seed, pixel_ids, s_idx, b, DIM_LIGHT_U2)
+            u1, u2 = stratified_2d(seed, pixel_ids, s_idx, n_spp, b,
+                                   DIM_LIGHT_U1, DIM_LIGHT_U2)
             ls = lt.sample_li(lights, tri_data, lid, p, eps, u1, u2)
             if meta.has_env:
                 from ..lights import envmap
@@ -135,8 +156,15 @@ def make_li(meta, max_depth=None, with_stats=False):
                 & jnp.any(ls["Li"] > 0.0, axis=-1)
                 & jnp.any(f_l > 0.0, axis=-1)
             )
-            occ = scn.occluded(
-                scene, meta, p, ls["wi"], eps, ls["shadow_maxt"]
+            # kill dead lanes at the trace level: mint=BIG/maxt=0 fails the
+            # root box test, so they never contribute to the packet's
+            # traversal union (the packet kernel walks the union of live
+            # rays' node sets). Null-capable (mask) surfaces punch
+            # through with attenuation, never consuming depth.
+            occ, tr_null = scn.occluded_attenuated(
+                scene, meta, p, ls["wi"],
+                jnp.where(consider, eps, scn.BIG_T),
+                jnp.where(consider, ls["shadow_maxt"], 0.0),
             )
             vis = consider & ~occ
             bsdf_pdf_l = bx.bsdf_pdf(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
@@ -147,15 +175,17 @@ def make_li(meta, max_depth=None, with_stats=False):
             )
             Ld = jnp.where(
                 vis[:, None],
-                f_l * ls["Li"] * (vm.absdot(ns, ls["wi"]) * w_l
-                                  / jnp.maximum(ls["pdf"], 1e-20))[:, None],
+                f_l * tr_null * ls["Li"]
+                * (vm.absdot(ns, ls["wi"]) * w_l
+                   / jnp.maximum(ls["pdf"], 1e-20))[:, None],
                 0.0,
             )
 
             # ---- BSDF-sample side: continuation ray + MIS light hit
-            bu1 = hash_uniform(seed, pixel_ids, s_idx, b, DIM_BSDF_U1)
-            bu2 = hash_uniform(seed, pixel_ids, s_idx, b, DIM_BSDF_U2)
-            bcomp = hash_uniform(seed, pixel_ids, s_idx, b, DIM_BSDF_COMP + 3)
+            bu1, bu2 = stratified_2d(seed, pixel_ids, s_idx, n_spp, b,
+                                     DIM_BSDF_U1, DIM_BSDF_U2)
+            bcomp = stratified_1d(seed, pixel_ids, s_idx, n_spp, b,
+                                  DIM_BSDF_COMP + 3)
             bs = bx.bsdf_sample(
                 mat, ns, frag["dpdu"], wo, bu1, bu2, bcomp, bx.BSDF_ALL
             )
@@ -166,8 +196,8 @@ def make_li(meta, max_depth=None, with_stats=False):
 
             frag2 = scn.intersect(
                 scene, meta, p, wi,
-                jnp.where(cont_ok, eps, 1e-3),
-                jnp.full((R,), 3.0e37, jnp.float32),
+                jnp.where(cont_ok, eps, scn.BIG_T),
+                jnp.where(cont_ok, 3.0e37, 0.0),
             )
 
             # light pdf of the BSDF direction for MIS (area lights only)

@@ -21,9 +21,10 @@ sort-based data-parallel grid:
 
   final: L = Ld/iterations + Tau/(N_emitted * pi * R^2) (:586-600)
 
-The reference's per-pixel PermutedHalton sequences are replaced by the
-framework's stateless hash streams (bit-reproducible at any sharding);
-QMC variants can be layered later via core.sampling.permuted_radical_inverse.
+The reference's per-pixel PermutedHalton sequences map to qmc_uniform:
+prime-base radical-inverse streams over the iteration index with a
+per-pixel Cranley-Patterson rotation (stateless, bit-reproducible at any
+sharding), used for every camera-path dimension.
 """
 
 from __future__ import annotations
@@ -46,7 +47,28 @@ from .materials import gather_material
 from .path import _area_light_Le, _em_tri_data, _env_le
 
 ALPHA = 0.7
-K_MAX = 32  # max visible points examined per photon cell
+K_MAX = 32  # max visible points examined per photon cell (overflow counted)
+
+# low-discrepancy bases for the per-iteration camera-path dims
+# (reference PermutedHalton per pixel, src/GoblinSampler.cpp:659-748)
+_QMC_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+
+
+def qmc_uniform(seed, pixel_ids, it, dim, salt=0):
+    """Per-pixel low-discrepancy stream over the *iteration* axis (the
+    progressive dimension SPPM converges along): radical inverse of the
+    iteration index in prime base `dim`, Cranley-Patterson rotated by a
+    per-(pixel, salt) hash shift. The rotation preserves each stream's
+    stratification across iterations while decorrelating pixels and
+    bounces — the stateless analogue of the reference's per-pixel
+    digit-permuted Halton (src/GoblinSampler.cpp:659-748). `dim` must be
+    static (selects the prime base); `salt` may be traced (bounce id)."""
+    from ..core.sampling import radical_inverse
+
+    base = _QMC_PRIMES[dim % len(_QMC_PRIMES)]
+    h = radical_inverse(it, base)
+    shift = hash_uniform(seed, pixel_ids, jnp.int32(0x51C) + salt, 0, dim)
+    return jnp.mod(h + shift, 1.0)
 
 
 def _hash_cells(cx, cy, cz, size):
@@ -93,7 +115,7 @@ def make_ray_pass(scene, meta, seed, max_len, n_grid):
             Ld, tp, frag, active, vp = state
             mat = gather_material(
                 scene, meta, frag,
-                u_mask=hash_uniform(seed, pixel_ids, it * 64 + b, 0, DIM_BASE),
+                u_mask=qmc_uniform(seed, pixel_ids, it, 0, salt=b),
             )
             ns, wo, p, eps = frag["ns"], frag["wo"], frag["p"], frag["eps"]
             path_len = b + 1
@@ -101,10 +123,10 @@ def make_ray_pass(scene, meta, seed, max_len, n_grid):
             # --- NEE (one light pick; shares the continuation sample for
             # the bsdf MIS side, PT-style)
             if meta.n_lights > 0:
-                u_pick = hash_uniform(seed, pixel_ids, it * 64 + b, 1, DIM_BASE)
+                u_pick = qmc_uniform(seed, pixel_ids, it, 1, salt=b)
                 lid, pick_pdf = lt.pick_light(lights, u_pick)
-                u1 = hash_uniform(seed, pixel_ids, it * 64 + b, 2, DIM_BASE)
-                u2 = hash_uniform(seed, pixel_ids, it * 64 + b, 3, DIM_BASE)
+                u1 = qmc_uniform(seed, pixel_ids, it, 2, salt=b)
+                u2 = qmc_uniform(seed, pixel_ids, it, 3, salt=b)
                 ls = lt.sample_li(lights, tri_data, lid, p, eps, u1, u2)
                 f_l = bx.bsdf_eval(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
                 consider = (
@@ -131,15 +153,16 @@ def make_ray_pass(scene, meta, seed, max_len, n_grid):
             # --- continuation sample (also the bsdf MIS side)
             bs = bx.bsdf_sample(
                 mat, ns, frag["dpdu"], wo,
-                hash_uniform(seed, pixel_ids, it * 64 + b, 4, DIM_BASE),
-                hash_uniform(seed, pixel_ids, it * 64 + b, 5, DIM_BASE),
-                hash_uniform(seed, pixel_ids, it * 64 + b, 6, DIM_BASE),
+                qmc_uniform(seed, pixel_ids, it, 4, salt=b),
+                qmc_uniform(seed, pixel_ids, it, 5, salt=b),
+                qmc_uniform(seed, pixel_ids, it, 6, salt=b),
                 bx.BSDF_ALL,
             )
             cont_ok = active & bs["valid"] & jnp.any(bs["f"] > 0.0, -1)
             frag2 = scn.intersect(
-                scene, meta, p, bs["wi"], jnp.where(cont_ok, eps, 1e-3),
-                jnp.full((R,), 3.0e37, jnp.float32),
+                scene, meta, p, bs["wi"],
+                jnp.where(cont_ok, eps, scn.BIG_T),
+                jnp.where(cont_ok, 3.0e37, 0.0),
             )
             if meta.n_lights > 0:
                 cos_l = vm.dot(frag2["ns"], -bs["wi"])
@@ -198,7 +221,10 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
     @jax.jit
     def photon_pass(photon_ids, it, grid, vp, radius, Phi, Mi):
         """grid: dict(bbox_min, inv_len, entry_hash (sorted, E), entry_pix,
-        seg_start implicit via searchsorted). Returns updated (Phi, Mi)."""
+        seg_start implicit via searchsorted). Returns updated
+        (Phi, Mi, overflow) where overflow counts photon-cell pairs whose
+        visible-point list exceeded K_MAX (dropped energy, reported by the
+        driver rather than silently capped)."""
         from ..splatting import walk_light_paths
 
         R = photon_ids.shape[0]
@@ -211,6 +237,7 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
         # init already applies the reference's delta-light cos=1 rule)
         le_scale = lt.eval_emission(lights, em["lid"], em["n"], em["dir"])
 
+        overflow = jnp.int32(0)
         D = verts["p"].shape[0]
         for d in range(D):
             path_len = d + 1
@@ -227,6 +254,9 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
             h = _hash_cells(c[:, 0], c[:, 1], c[:, 2], n_pix)
             start = jnp.searchsorted(grid["entry_hash"], h, side="left")
             end = jnp.searchsorted(grid["entry_hash"], h, side="right")
+            overflow = overflow + jnp.sum(
+                jnp.where(valid, jnp.maximum(end - start - K_MAX, 0), 0)
+            )
             E = grid["entry_hash"].shape[0]
             for k in range(K_MAX):
                 idx = jnp.minimum(start + k, E - 1)
@@ -248,7 +278,7 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
                 contrib = jnp.where(ok[:, None], fs * wgt, 0.0)
                 Phi = Phi.at[pix].add(contrib)
                 Mi = Mi.at[pix].add(ok.astype(jnp.float32))
-        return Phi, Mi
+        return Phi, Mi, overflow
 
     return photon_pass
 
@@ -364,8 +394,12 @@ def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
         for c in range(n_chunks):
             ids = jnp.arange(emitted + c * cs, emitted + (c + 1) * cs,
                              dtype=jnp.int32)
-            Phi, Mi = photon_pass(ids, jnp.int32(it), grid, vp, radius, Phi,
-                                  Mi)
+            Phi, Mi, ovf = photon_pass(ids, jnp.int32(it), grid, vp,
+                                       radius, Phi, Mi)
+            if int(ovf) > 0:
+                print(f"[sppm] iteration {it}: {int(ovf)} photon-cell "
+                      f"pairs exceeded K_MAX={K_MAX} visible points "
+                      "(energy dropped; increase K_MAX for dense caustics)")
         emitted += n_chunks * cs
         Ni, Tau, radius = update(Ni, Tau, radius, Phi, Mi, vp["tp"],
                                  vp["valid"])

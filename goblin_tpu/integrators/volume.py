@@ -32,7 +32,24 @@ from ..core.sampling import (
 from ..lights import lights as lt
 from ..scene import intersect as scn
 
-MARCH_STEPS = 64  # static step cap for heterogeneous marching
+def march_steps(vol) -> int:
+    """Static heterogeneous march count derived from the volume's own
+    extent and step_size (the reference marches ceil(segment/step_size)
+    steps, src/GoblinVolume.cpp:323-342; XLA needs a static count, so we
+    size for the worst case — the local bbox diagonal — and shrink the
+    per-ray step to seg/n, never coarser than step_size)."""
+    import numpy as np
+
+    diag = float(
+        np.linalg.norm(np.asarray(vol.box_max) - np.asarray(vol.box_min))
+    )
+    # local->world scale is folded into to_world; a uniform bound via the
+    # matrix column norms keeps the count conservative
+    if vol.to_world:
+        m = np.asarray(vol.to_world, np.float32).reshape(4, 4)
+        diag *= float(max(np.linalg.norm(m[:3, k]) for k in range(3)))
+    n = int(np.ceil(diag / max(vol.step_size, 1e-6)))
+    return max(4, min(n, 1024))
 
 
 @dataclass(frozen=True)
@@ -147,8 +164,11 @@ def transmittance(vol: VolumeSpec, scene, o, d, mint, maxt, u_jitter):
                                                    jnp.float32)
         tr = jnp.exp(-tau)
         return jnp.where(hit[..., None], tr, 1.0)
-    # heterogeneous: jittered march with static step count
-    step = vol.step_size
+    # heterogeneous: jittered march; static count sized for the volume's
+    # diagonal, per-ray step = seg/n <= step_size so every segment is
+    # fully covered (no silent 64-step truncation)
+    n_steps = march_steps(vol)
+    step = seg / n_steps
     t = t0 + u_jitter * step
     tau = jnp.zeros(o.shape[:-1] + (3,), jnp.float32)
 
@@ -157,9 +177,9 @@ def transmittance(vol: VolumeSpec, scene, o, d, mint, maxt, u_jitter):
         p = o + t[..., None] * d
         s_t, _, _ = eval_sigma(vol, scene, p)
         active = (t <= t1)[..., None]
-        return tau + jnp.where(active, s_t * step, 0.0), t + step
+        return tau + jnp.where(active, s_t * step[..., None], 0.0), t + step
 
-    tau, _ = jax.lax.fori_loop(0, MARCH_STEPS, body, (tau, t))
+    tau, _ = jax.lax.fori_loop(0, n_steps, body, (tau, t))
     return jnp.where(hit[..., None], jnp.exp(-tau), 1.0)
 
 
@@ -258,8 +278,10 @@ def eval_lv(scene, meta, vol: VolumeSpec, o, d, mint, maxt, pixel_ids,
             )
         return Lv / n
 
-    # heterogeneous: jittered marching with emission + in-scatter
-    step = vol.step_size
+    # heterogeneous: jittered marching with emission + in-scatter; static
+    # count from the volume extent, per-ray step covers the full segment
+    n_steps = march_steps(vol)
+    step = jnp.maximum(t1 - t0, 0.0) / n_steps
     t = t0 + u(0) * step
 
     def body(i, carry):
@@ -293,10 +315,10 @@ def eval_lv(scene, meta, vol: VolumeSpec, o, d, mint, maxt, pixel_ids,
         return Lv, tr, t + step, t
 
     Lv, _, _, _ = jax.lax.fori_loop(
-        0, MARCH_STEPS, body,
+        0, n_steps, body,
         (Lv, jnp.ones((R, 3), jnp.float32), t, t),
     )
-    return Lv * step
+    return Lv * step[..., None]
 
 
 def film_lum(rgb):

@@ -37,7 +37,8 @@ def make_li(meta, max_depth=None):
         R = ray["o"].shape[0]
 
         frag = scn.intersect(
-            scene, meta, ray["o"], ray["d"], ray["mint"], ray["maxt"]
+            scene, meta, ray["o"], ray["d"], ray["mint"], ray["maxt"],
+            dxd=ray.get("dxd"), dyd=ray.get("dyd"),
         )
         L = jnp.where(
             frag["hit"][:, None],
@@ -50,6 +51,15 @@ def make_li(meta, max_depth=None):
         def bounce_body(state, b):
             L, throughput, frag, active = state
             p, ns, wo, eps = frag["p"], frag["ns"], frag["wo"], frag["eps"]
+            if meta.has_bssrdf:
+                # Whitted adds Lsubsurface at every recursion level
+                # (src/GoblinWhitted.cpp:24-26); here: per bounce vertex
+                from .bssrdf import subsurface_L
+
+                L = L + throughput * subsurface_L(
+                    scene, meta, frag, active, pixel_ids, s_idx, seed,
+                    bounce=b,
+                )
             mat = gather_material(
                 scene, meta, frag,
                 u_mask=hash_uniform(seed, pixel_ids, s_idx, b, DIM_BASE + 9),
@@ -69,8 +79,11 @@ def make_li(meta, max_depth=None):
                     & jnp.any(ls["Li"] > 0.0, axis=-1)
                     & jnp.any(f_l > 0.0, axis=-1)
                 )
-                occ = scn.occluded(scene, meta, p, ls["wi"], eps,
-                                   ls["shadow_maxt"])
+                occ, tr_null = scn.occluded_attenuated(
+                    scene, meta, p, ls["wi"],
+                    jnp.where(consider, eps, scn.BIG_T),
+                    jnp.where(consider, ls["shadow_maxt"], 0.0),
+                )
                 vis = consider & ~occ
                 bsdf_pdf_l = bx.bsdf_pdf(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
                 w_l = jnp.where(
@@ -79,8 +92,9 @@ def make_li(meta, max_depth=None):
                 )
                 Ld = Ld + jnp.where(
                     vis[:, None],
-                    f_l * ls["Li"] * (vm.absdot(ns, ls["wi"]) * w_l
-                                      / jnp.maximum(ls["pdf"], 1e-20))[:, None],
+                    f_l * tr_null * ls["Li"]
+                    * (vm.absdot(ns, ls["wi"]) * w_l
+                       / jnp.maximum(ls["pdf"], 1e-20))[:, None],
                     0.0,
                 )
             L = L + jnp.where(active[:, None], throughput * Ld, 0.0)
@@ -98,8 +112,8 @@ def make_li(meta, max_depth=None):
             )
             frag2 = scn.intersect(
                 scene, meta, p, bs["wi"],
-                jnp.where(cont_ok, eps, 1e-3),
-                jnp.full((R,), 3.0e37, jnp.float32),
+                jnp.where(cont_ok, eps, scn.BIG_T),
+                jnp.where(cont_ok, 3.0e37, 0.0),
             )
             new_tp = throughput * bs["f"] * (
                 vm.absdot(bs["wi"], ns) / jnp.maximum(bs["pdf"], 1e-20)

@@ -138,6 +138,11 @@ def bake_lights(build: LightsBuild, em_tri_light, em_tri_area,
         "em_light": jnp.asarray(em_light),
         "world_center": jnp.asarray(np.asarray(world_center, np.float32)),
         "world_radius": jnp.float32(world_radius),
+        # analytic sphere emitters (overwritten by bake when present):
+        # cone-sampled NEE (reference GoblinSphere.cpp:108-136)
+        "sph_center": jnp.zeros((L, 3), jnp.float32),
+        "sph_radius": jnp.zeros(L, jnp.float32),
+        "is_sphere": jnp.zeros(L, bool),
     }
 
 
@@ -245,13 +250,83 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
     is_point = ltype == LIGHT_POINT
     is_dir = ltype == LIGHT_DIRECTIONAL
     is_spot = ltype == LIGHT_SPOT
-    is_area = ltype == LIGHT_AREA
+    is_sphere = lights["is_sphere"][lid]
+    is_area = (ltype == LIGHT_AREA) & ~is_sphere
     is_ibl = ltype == LIGHT_IBL
+
+    # --- sphere area light: cone sampling toward the sphere (reference
+    # Sphere::sample(p, u1, u2), src/GoblinSphere.cpp:108-136).
+    # Non-sphere rows carry zero-radius placeholders whose degenerate
+    # geometry (cos_max=1, |v|~0) has infinite backward partials that
+    # would NaN the masked lanes' grads — substitute well-conditioned
+    # dummies on those lanes (results are where()-discarded anyway).
+    is_sphere = lights["is_sphere"][lid]
+    sc = lights["sph_center"][lid]
+    sr = jnp.where(is_sphere, jnp.maximum(lights["sph_radius"][lid], 1e-6),
+                   1.0)
+    v = p - sc
+    v_ok = vm.squared_length(v) > 1e-12
+    v = jnp.where(
+        (is_sphere & v_ok)[..., None], v,
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 4.0]), v.shape),
+    )
+    sd2 = jnp.maximum(vm.squared_length(v), 1e-20)
+    outside = (sd2 - sr * sr) > 1e-4
+    z_ax = vm.normalize(-v, eps=1e-30)
+    x_ax, y_ax = vm.coordinate_system(z_ax)
+    sin2max = jnp.clip(sr * sr / sd2, 0.0, 1.0)
+    # double-where sqrt guards: sqrt'(0) = inf would turn the masked
+    # (non-sphere) lanes' zero cotangents into NaN grads on sph_center
+    cm2 = 1.0 - sin2max
+    cm_ok = cm2 > 1e-12
+    cos_max = jnp.where(
+        cm_ok, jnp.sqrt(jnp.where(cm_ok, cm2, 1.0)), 0.0
+    )
+    # clamp below 1: at cos_max == 1 (zero-radius placeholder rows on
+    # non-sphere lanes) the cone pdf 1/(2pi(1-c)) and the cone warp's
+    # sqrt(1-cos^2) have infinite partials that would NaN the masked
+    # lanes' backward pass
+    cos_max = jnp.minimum(cos_max, 1.0 - 1e-7)
+    cone = sp.uniform_sample_cone(u1, u2, cos_max)
+    w_cone = (
+        cone[..., 0:1] * x_ax + cone[..., 1:2] * y_ax + cone[..., 2:3] * z_ax
+    )
+    # analytic ray-sphere hit along w_cone (near root); scratch rays use
+    # t = d * cosThetaMax like the reference fallback
+    b_q = vm.dot(w_cone, -v)
+    disc = b_q * b_q - (sd2 - sr * sr)
+    d_ok = disc > 1e-12
+    t_hit = jnp.where(
+        d_ok, b_q - jnp.sqrt(jnp.where(d_ok, disc, 1.0)),
+        jnp.sqrt(sd2) * cos_max,
+    )
+    ps_out = p + t_hit[..., None] * w_cone
+    # inside: uniform surface sample
+    ps_in = sc + sr[..., None] * sp.uniform_sample_sphere(u1, u2)
+    ps_s = jnp.where(outside[..., None], ps_out, ps_in)
+    ns_s = vm.normalize(ps_s - sc, eps=1e-30)
+    to_ss = ps_s - p
+    sdist2 = jnp.maximum(vm.squared_length(to_ss), 1e-20)
+    sdist = jnp.sqrt(sdist2)
+    wi_sph = to_ss / sdist[..., None]
+    cos_sl = vm.dot(ns_s, -wi_sph)
+    pdf_sph = jnp.where(
+        outside,
+        sp.uniform_cone_pdf(cos_max),
+        sdist2 / jnp.maximum(
+            jnp.abs(cos_sl) * lights["area"][lid], 1e-12
+        ),
+    )
+    li_sph = jnp.where((cos_sl > 0.0)[..., None], lcolor, 0.0)
 
     wi = jnp.where(
         is_area[..., None],
         wi_area,
-        jnp.where(is_dir[..., None], jnp.broadcast_to(wi_dir, wi_pos.shape), wi_pos),
+        jnp.where(
+            is_sphere[..., None], wi_sph,
+            jnp.where(is_dir[..., None],
+                      jnp.broadcast_to(wi_dir, wi_pos.shape), wi_pos),
+        ),
     )
     Li = jnp.where(
         is_point[..., None],
@@ -259,19 +334,25 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
         jnp.where(
             is_spot[..., None],
             li_spot,
-            jnp.where(is_dir[..., None], jnp.broadcast_to(lcolor, li_point.shape),
-                      li_area),
+            jnp.where(
+                is_dir[..., None],
+                jnp.broadcast_to(lcolor, li_point.shape),
+                jnp.where(is_sphere[..., None], li_sph, li_area),
+            ),
         ),
     )
     # IBL NEE sampling is handled by the env CDF2D path (integrators/
     # envmap.py); until a lane routes there, IBL lanes contribute 0 on the
     # light-sample side and the BSDF side takes full MIS weight — unbiased.
     Li = jnp.where(is_ibl[..., None], 0.0, Li)
-    pdf = jnp.where(is_area, pdf_area, 1.0)
+    pdf = jnp.where(is_area, pdf_area, jnp.where(is_sphere, pdf_sph, 1.0))
     shadow_maxt = jnp.where(
         is_dir,
         jnp.full_like(dist, 3.0e37),
-        jnp.where(is_area, dist_a - eps, dist - eps),
+        jnp.where(
+            is_area, dist_a - eps,
+            jnp.where(is_sphere, sdist - eps, dist - eps),
+        ),
     )
     is_delta = is_point | is_dir | is_spot
     return {
@@ -280,7 +361,8 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
         "pdf": pdf,
         "shadow_maxt": shadow_maxt,
         "is_delta": is_delta,
-        "dist": jnp.where(is_area, dist_a, dist),
+        "dist": jnp.where(is_area, dist_a,
+                          jnp.where(is_sphere, sdist, dist)),
     }
 
 
@@ -336,6 +418,14 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
     else:
         p_area = p_point
         n_area = jnp.broadcast_to(ldir, p_point.shape)
+    # sphere emitters: uniform surface position (reference
+    # Sphere::sample(u1,u2), src/GoblinSphere.cpp:103-106)
+    is_sph = lights["is_sphere"][lid]
+    sph_n = sp.uniform_sample_sphere(u_p1, u_p2)
+    p_sph = (lights["sph_center"][lid]
+             + lights["sph_radius"][lid][..., None] * sph_n)
+    p_area = jnp.where(is_sph[..., None], p_sph, p_area)
+    n_area = jnp.where(is_sph[..., None], sph_n, n_area)
 
     is_point = ltype == LIGHT_POINT
     is_dir = ltype == LIGHT_DIRECTIONAL
@@ -466,13 +556,30 @@ def pdf_li(lights, lid, p, wi, hit_t, hit_cos, hit_light):
     area lights the pdf is r^2/(|cos| A); 0 when the hit isn't this light.
     """
     ltype = lights["type"][lid]
-    is_area = ltype == LIGHT_AREA
+    is_sphere = lights["is_sphere"][lid]
+    is_area = (ltype == LIGHT_AREA) & ~is_sphere
     total_area = lights["area"][lid]
-    ok = is_area & (hit_light == lid)
+    ok = (is_area | is_sphere) & (hit_light == lid)
     # clamp t under the mask: miss lanes carry t = BIG_T whose square is
     # inf, which would poison the backward pass through the where
     t_ok = jnp.where(ok, hit_t, 1.0)
     pdf_area = (t_ok * t_ok) / jnp.maximum(
         jnp.abs(hit_cos) * total_area, 1e-12
     )
-    return jnp.where(ok, pdf_area, 0.0)
+    # sphere emitters: cone solid-angle pdf from outside (reference
+    # Sphere::pdf, src/GoblinSphere.cpp:138-150)
+    v = p - lights["sph_center"][lid]
+    sd2 = jnp.maximum(vm.squared_length(v), 1e-20)
+    sr = lights["sph_radius"][lid]
+    sin2max = jnp.clip(sr * sr / sd2, 0.0, 1.0)
+    cm2 = 1.0 - sin2max
+    cm_ok = cm2 > 1e-12
+    cos_max = jnp.where(
+        cm_ok, jnp.sqrt(jnp.where(cm_ok, cm2, 1.0)), 0.0
+    )
+    cos_max = jnp.minimum(cos_max, 1.0 - 1e-7)  # see sample_li clamp
+    outside = (sd2 - sr * sr) > 1e-4
+    pdf_sph = jnp.where(
+        outside, sp.uniform_cone_pdf(cos_max), pdf_area
+    )
+    return jnp.where(ok, jnp.where(is_sphere, pdf_sph, pdf_area), 0.0)

@@ -32,6 +32,7 @@ from ..shading.bsdf import (
     MAT_SUBSURFACE,
     MAT_TRANSPARENT,
 )
+from ..shading.bssrdf import fresnel_a as _fresnel_a
 from ..shading.textures import TexSpec, TextureSystem
 
 
@@ -77,6 +78,9 @@ class SceneMeta:
     texture_system: TextureSystem = None
     float_texture_system: TextureSystem = None
     max_leaf: int = 4
+    has_perturb: bool = False  # any material carries a bump/normal map
+    has_bssrdf: bool = False  # any subsurface material in the scene
+    has_null: bool = False  # any mask (BSDF_NULL-capable) material
     has_env: bool = False
     env_light_id: int = -1
     output_path: str = "goblin.exr"
@@ -84,6 +88,8 @@ class SceneMeta:
     # "jnp" = lockstep skip-link traversal (accel/traverse)
     trace_backend: str = "jnp"
     trace_rows: int = 32  # packet = trace_rows * 128 rays (pallas only)
+    trace_sort: bool = True  # morton-sort wavefronts before packet trace
+    world_bounds: tuple = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
 
 
 def default_trace_backend() -> str:
@@ -158,12 +164,18 @@ class SceneBuilder:
 
     def bake(self, max_leaf: int | None = None, trace_backend: str | None = None,
              trace_rows: int = 32):
+        import os
+
         if trace_backend is None:
             trace_backend = default_trace_backend()
         if max_leaf is None:
             # larger leaves amortize the packet kernel's scalar traversal;
             # the jnp path unrolls max_leaf gathers per step so stays small
-            max_leaf = 16 if trace_backend == "pallas" else 4
+            # 32 measured best-per-compile-second on bunny (6.7 vs 6.2
+            # Mrays/s at 16; 64 gains +2% for 2x compile)
+            max_leaf = 32 if trace_backend == "pallas" else 4
+            max_leaf = int(os.environ.get("GOBLIN_MAX_LEAF", max_leaf))
+        trace_rows = int(os.environ.get("GOBLIN_ROWS", trace_rows))
         tri_v = [np.zeros((0, 3, 3), np.float32)]
         tri_n = [np.zeros((0, 3, 3), np.float32)]
         tri_uv = [np.zeros((0, 3, 2), np.float32)]
@@ -269,11 +281,23 @@ class SceneBuilder:
         em_area = 0.5 * np.linalg.norm(em_n, axis=-1)
         em_n = em_n / np.maximum(np.linalg.norm(em_n, axis=-1, keepdims=True), 1e-20)
 
-        # per-light world areas for area lights
-        areas = np.zeros(max(1, len(self.lights.types)), np.float32)
+        # per-light world areas for area lights (triangle segments +
+        # analytic sphere emitters, reference GeometrySet area CDF,
+        # src/GoblinLight.cpp:289-343 + GoblinSphere area 4*pi*r^2)
+        L_n = max(1, len(self.lights.types))
+        areas = np.zeros(L_n, np.float32)
+        sph_l_center = np.zeros((L_n, 3), np.float32)
+        sph_l_radius = np.zeros(L_n, np.float32)
+        light_is_sphere = np.zeros(L_n, bool)
         for i, t in enumerate(self.lights.types):
             if t == LIGHT_AREA:
                 areas[i] = em_area[LIGHT[em_sel] == i].sum()
+        for center, radius, _m, lgt in spheres:
+            if lgt >= 0:
+                areas[lgt] += 4.0 * np.pi * radius * radius
+                sph_l_center[lgt] = center
+                sph_l_radius[lgt] = radius
+                light_is_sphere[lgt] = True
         self.lights.areas = list(areas[: len(self.lights.types)])
 
         env_power = 0.0
@@ -288,6 +312,9 @@ class SceneBuilder:
             self.lights, LIGHT[em_sel], em_area, world_center, world_radius,
             env_luminance_power=env_power,
         )
+        lights["sph_center"] = jnp.asarray(sph_l_center)
+        lights["sph_radius"] = jnp.asarray(sph_l_radius)
+        lights["is_sphere"] = jnp.asarray(light_is_sphere)
 
         tex_sys = TextureSystem(self.color_textures)
         ftex_sys = TextureSystem(self.float_textures)
@@ -325,6 +352,28 @@ class SceneBuilder:
             "mat_k": jnp.asarray(np.asarray([m.k for m in self.materials], np.float32)),
             "mat_inner": jnp.asarray(
                 np.asarray([m.inner for m in self.materials], np.int32)
+            ),
+            "mat_bump": jnp.asarray(
+                np.asarray([m.bump_tex for m in self.materials], np.int32)
+            ),
+            "mat_normal": jnp.asarray(
+                np.asarray([m.normal_tex for m in self.materials], np.int32)
+            ),
+            # BSSRDF tables (shading/bssrdf.py); zero rows for non-
+            # subsurface materials
+            "mat_sigma_a": jnp.asarray(
+                np.asarray([m.absorb for m in self.materials], np.float32)
+            ),
+            "mat_sigma_sp": jnp.asarray(
+                np.asarray([m.scatter_prime for m in self.materials],
+                           np.float32)
+            ),
+            "mat_ss_g": jnp.asarray(
+                np.asarray([m.g for m in self.materials], np.float32)
+            ),
+            "mat_ss_A": jnp.asarray(
+                np.asarray([_fresnel_a(m.eta) for m in self.materials],
+                           np.float32)
             ),
             "lights": lights,
             "em_v0": jnp.asarray(em_v[:, 0] if em_sel.size else np.zeros((0, 3), np.float32)),
@@ -380,10 +429,23 @@ class SceneBuilder:
             texture_system=tex_sys,
             float_texture_system=ftex_sys,
             max_leaf=max_leaf,
+            has_perturb=any(
+                m.bump_tex >= 0 or m.normal_tex >= 0 for m in self.materials
+            ),
+            has_bssrdf=any(
+                m.kind == MAT_SUBSURFACE for m in self.materials
+            ),
+            has_null=any(m.kind == MAT_MASK for m in self.materials),
             has_env=self.env_light_id >= 0,
             env_light_id=self.env_light_id,
             output_path=self.output_path,
             trace_backend=trace_backend,
             trace_rows=trace_rows,
+            # measured on bunny: morton/octant ray sorting costs more
+            # (argsort + 12 gathers) than the packet-coherence it buys at
+            # 512x384; off by default, GOBLIN_SORT=1 for huge wavefronts
+            trace_sort=os.environ.get("GOBLIN_SORT", "0") == "1",
+            world_bounds=(tuple(float(v) for v in bmin),
+                          tuple(float(v) for v in bmax)),
         )
         return scene, meta

@@ -25,14 +25,46 @@ from .bake import SceneMeta
 HIT_EPS_SCALE = 1e-3
 
 
+def _morton_key(o, d, mint, maxt, bmin, inv_ext):
+    """Packet-coherence sort key: 6-bit-per-axis Morton code of the ray
+    origin within the scene bounds, 3-bit direction octant below it, and
+    a dead-ray flag on top so dead lanes compact into whole packets that
+    exit at the root box test."""
+    q = jnp.clip((o - bmin) * inv_ext * 63.0, 0.0, 63.0).astype(jnp.int32)
+
+    def spread(x):  # bits -> every 3rd position (standard morton masks)
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    morton = (
+        spread(q[..., 0]) | (spread(q[..., 1]) << 1) | (spread(q[..., 2]) << 2)
+    )
+    octant = (
+        (d[..., 0] < 0).astype(jnp.int32)
+        | ((d[..., 1] < 0).astype(jnp.int32) << 1)
+        | ((d[..., 2] < 0).astype(jnp.int32) << 2)
+    )
+    dead = (maxt <= mint).astype(jnp.int32)
+    # octant above morton: packets share a traversal *order* (front-to-
+    # back child choice is per-packet scalar), which matters more than
+    # origin locality for hemisphere-sampled bounce directions
+    return (dead << 24) | (octant << 18) | morton
+
+
 def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
     """BVH trace over the wavefront, dispatched by meta.trace_backend.
 
     pallas: the VMEM packet kernel (ops/pallas_trace.trace_packets) —
     rays padded to a whole number of trace_rows*128 packets with dead
-    rays (mint=BIG_T, maxt=0) whose box tests always fail. jnp: the
-    lockstep skip-link traversal. Both replace the reference's per-thread
-    stack walk (src/GoblinBVH.cpp:156-280).
+    rays (mint=BIG_T, maxt=0) whose box tests always fail, and Morton-
+    sorted (origin + direction octant) so each packet's rays traverse a
+    similar node set; dead lanes cluster into all-dead packets that
+    retire at the root (the wavefront-compaction analogue — SURVEY §2.9).
+    jnp: the lockstep skip-link traversal. Both replace the reference's
+    per-thread stack walk (src/GoblinBVH.cpp:156-280).
     """
     if meta.trace_backend != "pallas" or "pk_nodes" not in scene:
         return trace(
@@ -43,6 +75,16 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
 
     R = o.shape[0]
     packet = meta.trace_rows * 128
+    order = None
+    if meta.trace_sort and R > packet:
+        bmin, bmax = meta.world_bounds
+        bmin = jnp.asarray(bmin, jnp.float32)
+        inv_ext = 1.0 / jnp.maximum(
+            jnp.asarray(bmax, jnp.float32) - bmin, 1e-12
+        )
+        key = _morton_key(o, d, mint, maxt, bmin, inv_ext)
+        order = jnp.argsort(key)
+        o, d, mint, maxt = (v[order] for v in (o, d, mint, maxt))
     pad = (-R) % packet
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -56,6 +98,9 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
     )
     if pad:
         hit, t, tri, b1, b2 = (v[:R] for v in (hit, t, tri, b1, b2))
+    if order is not None:
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(R, dtype=order.dtype))
+        hit, t, tri, b1, b2 = (v[inv] for v in (hit, t, tri, b1, b2))
     return TraceResult(hit, t, tri, b1, b2)
 
 
@@ -75,8 +120,16 @@ def _sphere_pass(scene, o, d, mint, cur_t):
     return best, best_t
 
 
-def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
+def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
     """Closest-hit over the whole scene. Returns the fragment dict.
+
+    dxd/dyd: optional (R,3) camera ray-differential directions (same
+    origin as o). When given, the fragment carries uv differentials
+    (duv4 = [dudx, dvdx, dudy, dvdy] and duv = conservative widths) by
+    intersecting the aux rays with the hit tangent plane and solving the
+    2x2 system dpdx = dudx*dpdu + dvdx*dpdv on the two dominant axes —
+    the wavefront analogue of Intersection::computeUVDifferential
+    (reference src/GoblinPrimitive.cpp:32-97).
 
     The discrete traversal decision (which triangle) is non-differentiable
     and wrapped in stop_gradient; shading quantities are then recomputed
@@ -152,9 +205,11 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
     det = du1 * dv2 - dv1 * du2
     inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
     dpdu_tri = inv_det[..., None] * (dv2[..., None] * e1 - dv1[..., None] * e2)
+    dpdv_tri = inv_det[..., None] * (-du2[..., None] * e1 + du1[..., None] * e2)
     degenerate = jnp.abs(det) < 1e-20
-    fallback, _ = vm.coordinate_system(ns_tri)
+    fallback, fallback_v = vm.coordinate_system(ns_tri)
     dpdu_tri = jnp.where(degenerate[..., None], fallback, dpdu_tri)
+    dpdv_tri = jnp.where(degenerate[..., None], fallback_v, dpdv_tri)
     mat_tri = jnp.take(scene["tri_mat"], tri_c)
     light_tri = jnp.take(scene["tri_light"], tri_c)
 
@@ -174,22 +229,33 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
             vm.coordinate_system(ns_s)[0],
             dpdu_s,
         )
+        # dpdv along latitude: r*dtheta direction, scaled to v = theta/pi
+        # (analytic sphere partials, reference src/GoblinSphere.cpp:61-75)
+        st = jnp.sin(theta)
+        ct = jnp.cos(theta)
+        dpdv_s = (jnp.pi * sr)[..., None] * jnp.stack(
+            [ct * jnp.cos(phi), ct * jnp.sin(phi), -st], axis=-1
+        )
         m = sph_hit[..., None]
         ns = jnp.where(m, ns_s, ns_tri)
         ng = jnp.where(m, ns_s, ng_tri)
         uv = jnp.where(m, uv_s, uv_tri)
         dpdu = jnp.where(m, dpdu_s, dpdu_tri)
+        dpdv = jnp.where(m, dpdv_s, dpdv_tri)
+        # derivative-scaled dpdu for duv: sphere dpdu w.r.t. u = 2*pi*r*...
+        dpdu_deriv = jnp.where(m, (2 * jnp.pi) * sr[..., None] * dpdu_s, dpdu_tri)
         mat = jnp.where(sph_hit, jnp.take(scene["sph_mat"], jnp.maximum(sph_id, 0)),
                         mat_tri)
         light = jnp.where(
             sph_hit, jnp.take(scene["sph_light"], jnp.maximum(sph_id, 0)), light_tri
         )
     else:
-        ns, ng, uv, dpdu, mat, light = (
-            ns_tri, ng_tri, uv_tri, dpdu_tri, mat_tri, light_tri
+        ns, ng, uv, dpdu, dpdv, mat, light = (
+            ns_tri, ng_tri, uv_tri, dpdu_tri, dpdv_tri, mat_tri, light_tri
         )
+        dpdu_deriv = dpdu_tri
 
-    return {
+    frag = {
         "hit": hit,
         "t": t,
         "p": p,
@@ -197,11 +263,199 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt):
         "ng": ng,
         "uv": uv,
         "dpdu": dpdu,
+        "dpdv": dpdv,
         "mat": jnp.where(hit, mat, 0),
         "light": jnp.where(hit, light, -1),
         "eps": HIT_EPS_SCALE * jnp.where(hit, t, 1.0),
         "wo": -d,
     }
+    if dxd is not None:
+        frag["duv4"], frag["duv"] = _uv_differentials(
+            o, dxd, dyd, p, ng, dpdu_deriv, dpdv, hit
+        )
+    else:
+        # keep the fragment pytree structure identical across bounces
+        # (path.py tree_maps primary + continuation fragments together)
+        frag["duv4"] = jnp.zeros(t.shape + (4,), jnp.float32)
+        frag["duv"] = jnp.zeros(t.shape + (2,), jnp.float32)
+    if getattr(meta, "has_perturb", False):
+        frag = _perturb(scene, meta, frag)
+    return frag
+
+
+def _uv_differentials(o, dxd, dyd, p, n, dpdu, dpdv, hit):
+    """Solve dpdx = dudx*dpdu + dvdx*dpdv (and dy) on the two dominant
+    axes of n (reference computeUVDifferential's axis pick + 2x2 solve,
+    src/GoblinPrimitive.cpp:32-97). Aux rays share the primary origin
+    (camera differentials offset by one pixel). Returns
+    (duv4 (R,4) = [dudx, dvdx, dudy, dvdy], duv (R,2) widths)."""
+    pon = vm.dot(p - o, n)
+
+    def plane_hit(dd):
+        den = vm.dot(dd, n)
+        ok = jnp.abs(den) > 1e-12
+        tt = pon / jnp.where(ok, den, 1.0)
+        return o + tt[..., None] * dd - p, ok & (tt > 0.0)
+
+    dpdx, okx = plane_hit(dxd)
+    dpdy, oky = plane_hit(dyd)
+
+    an = jnp.abs(n)
+    # axis pair (a, b): drop the dominant normal axis
+    ax_x = jnp.where(an[..., 0] > jnp.maximum(an[..., 1], an[..., 2]), 1, 0)
+    ax_y = jnp.where(an[..., 2] > jnp.maximum(an[..., 0], an[..., 1]), 1, 2)
+
+    def pick(v, ax):
+        return jnp.take_along_axis(v, ax[..., None], axis=-1)[..., 0]
+
+    a11 = pick(dpdu, ax_x)
+    a12 = pick(dpdv, ax_x)
+    a21 = pick(dpdu, ax_y)
+    a22 = pick(dpdv, ax_y)
+    det = a11 * a22 - a12 * a21
+    ok_det = jnp.abs(det) > 1e-16
+    inv = 1.0 / jnp.where(ok_det, det, 1.0)
+
+    def solve(dp, ok):
+        b1 = pick(dp, ax_x)
+        b2 = pick(dp, ax_y)
+        du = (a22 * b1 - a12 * b2) * inv
+        dv = (a11 * b2 - a21 * b1) * inv
+        valid = ok & ok_det & hit
+        return jnp.where(valid, du, 0.0), jnp.where(valid, dv, 0.0)
+
+    dudx, dvdx = solve(dpdx, okx)
+    dudy, dvdy = solve(dpdy, oky)
+    duv4 = jnp.stack([dudx, dvdx, dudy, dvdy], axis=-1)
+    duv = jnp.stack(
+        [jnp.maximum(jnp.abs(dudx), jnp.abs(dudy)),
+         jnp.maximum(jnp.abs(dvdx), jnp.abs(dvdy))],
+        axis=-1,
+    )
+    return duv4, duv
+
+
+def _perturb(scene, meta: SceneMeta, frag):
+    """Bump / normal-map shading-normal perturbation applied at hit time,
+    the wavefront analogue of Material::perturb called from
+    Scene::intersect (reference src/GoblinMaterial.cpp:221-283,
+    src/GoblinScene.cpp:75-83). Bump: forward-difference the height map
+    along u/v and tilt dpdu/dpdv; normal map: decode a tangent-space
+    normal. Lanes whose material has neither are untouched."""
+    uv = frag["uv"]
+    ns = frag["ns"]
+    dpdu = frag["dpdu"]
+    dpdv = frag["dpdv"]
+    mid = frag["mat"]
+    bump_id = jnp.take(scene["mat_bump"], mid)
+    norm_id = jnp.take(scene["mat_normal"], mid)
+
+    duv = frag.get("duv")
+    if duv is None:
+        du = jnp.full(uv.shape[:-1], 5e-4, jnp.float32)
+        dv = du
+    else:
+        du = jnp.maximum(duv[..., 0], 5e-4)
+        dv = jnp.maximum(duv[..., 1], 5e-4)
+
+    ftex = meta.float_texture_system
+    atlas = scene.get("ftex_atlas")
+    const = scene.get("ftex_const")
+    p = frag.get("p")
+
+    def h(uv_q):
+        stack = ftex.eval_all(uv_q, atlas=atlas, const=const, p=p)
+        return jnp.take_along_axis(
+            stack, jnp.maximum(bump_id, 0)[None, :, None], axis=0
+        )[0][..., 0]
+
+    h0 = h(uv)
+    hu = h(uv + jnp.stack([du, jnp.zeros_like(du)], -1))
+    hv = h(uv + jnp.stack([jnp.zeros_like(dv), dv], -1))
+    dhdu = (hu - h0) / du
+    dhdv = (hv - h0) / dv
+    bu = dpdu + dhdu[..., None] * ns
+    bv = dpdv + dhdv[..., None] * ns
+    n_bump = vm.normalize(jnp.cross(bu, bv), eps=1e-30)
+    # keep orientation consistent with the original shading normal
+    n_bump = jnp.where(
+        vm.dot(n_bump, ns)[..., None] < 0.0, -n_bump, n_bump
+    )
+    has_bump = (bump_id >= 0)[..., None]
+    ns = jnp.where(has_bump, n_bump, ns)
+    dpdu = jnp.where(has_bump, bu, dpdu)
+    dpdv = jnp.where(has_bump, bv, dpdv)
+
+    ctex = meta.texture_system
+    tex_stack = ctex.eval_all(
+        uv, atlas=scene.get("tex_atlas"), const=scene.get("tex_const"),
+        p=frag.get("p"),
+    )
+    c = jnp.take_along_axis(
+        tex_stack, jnp.maximum(norm_id, 0)[None, :, None], axis=0
+    )[0]
+    n_ts = 2.0 * c - 1.0  # tangent-space decode
+    t_ = vm.normalize(
+        dpdu - vm.dot(dpdu, ns)[..., None] * ns, eps=1e-30
+    )
+    b_ = jnp.cross(ns, t_)
+    n_map = vm.normalize(
+        n_ts[..., 0:1] * t_ + n_ts[..., 1:2] * b_ + n_ts[..., 2:3] * ns,
+        eps=1e-30,
+    )
+    has_norm = (norm_id >= 0)[..., None]
+    ns = jnp.where(has_norm, n_map, ns)
+
+    out = dict(frag)
+    out["ns"] = ns
+    out["dpdu"] = dpdu
+    out["dpdv"] = dpdv
+    return out
+
+
+def occluded_attenuated(scene, meta: SceneMeta, o, d, mint, maxt,
+                        max_punch: int = 4):
+    """Shadow query with index-matched (BSDF_NULL) punch-through that
+    does NOT consume path depth: null-capable surfaces (mask materials)
+    never occlude — they attenuate by their null lobe (1-alpha) *
+    transparent_color — while any opaque hit blocks. The wavefront
+    analogue of occluded(ray, &isOpaque) + PathTracer::evalAttenuation
+    (reference src/GoblinPathtracer.cpp:5-48,95-113). Returns (occ, tr)
+    with tr (R,3). Scenes without mask materials take the plain any-hit
+    path (statically, zero extra cost); max_punch bounds the number of
+    stacked null surfaces traversed (reference loops unboundedly)."""
+    if not getattr(meta, "has_null", False):
+        return occluded(scene, meta, o, d, mint, maxt), jnp.ones(
+            o.shape[:-1] + (3,), jnp.float32
+        )
+    from ..integrators.materials import gather_material
+    from ..shading.bsdf import MAT_MASK
+
+    tr = jnp.ones(o.shape[:-1] + (3,), jnp.float32)
+    occ = jnp.zeros(o.shape[:-1], bool)
+    done = maxt <= mint  # dead lanes start done
+    cur_mint = mint
+    for _ in range(max_punch):
+        frag = intersect(
+            scene, meta, o, d,
+            jnp.where(done, BIG_T, cur_mint),
+            jnp.where(done, 0.0, maxt),
+        )
+        hit = frag["hit"] & ~done
+        is_mask = jnp.take(scene["mat_type"], frag["mat"]) == MAT_MASK
+        blocked = hit & ~is_mask
+        punch = hit & is_mask
+        occ = occ | blocked
+        mat = gather_material(scene, meta, frag)
+        tr = jnp.where(
+            punch[..., None],
+            tr * (1.0 - mat["mask_alpha"])[..., None] * mat["c1"],
+            tr,
+        )
+        cur_mint = jnp.where(punch, frag["t"] + frag["eps"], cur_mint)
+        done = done | blocked | ~frag["hit"] \
+            | (punch & jnp.all(tr <= 0.0, axis=-1))
+    return occ, tr
 
 
 def occluded(scene, meta: SceneMeta, o, d, mint, maxt):

@@ -47,7 +47,9 @@ from ..shading.textures import (
     ADDRESS_CLAMP,
     ADDRESS_REPEAT,
     FILTER_BILINEAR,
+    FILTER_EWA,
     FILTER_NEAREST,
+    FILTER_TRILINEAR,
     TEX_CHECKERBOARD,
     TEX_CONSTANT,
     TEX_IMAGE,
@@ -253,9 +255,12 @@ def load_scene(path: str, overrides: dict | None = None):
             except Exception as e:  # error fallback: 1x1 magenta
                 print(f"[loader] failed to load image {fpath}: {e}")
                 img = np.full((1, 1, 3), [1.0, 0.0, 1.0], np.float32)
-            filt = {"nearest": FILTER_NEAREST}.get(
-                p.get_string("filter", "nearest"), FILTER_BILINEAR
-            )
+            filt = {
+                "nearest": FILTER_NEAREST,
+                "bilinear": FILTER_BILINEAR,
+                "trilinear": FILTER_TRILINEAR,
+                "EWA": FILTER_EWA,
+            }.get(p.get_string("filter", "nearest"), FILTER_BILINEAR)
             addr = {
                 "repeat": ADDRESS_REPEAT,
                 "clamp": ADDRESS_CLAMP,
@@ -330,10 +335,40 @@ def load_scene(path: str, overrides: dict | None = None):
             spec.tex_c0 = color_tex_id(p, "Kr", (1.0, 1.0, 1.0))
             spec.eta = p.get_float("index", 1.5)
             spec.g = p.get_float("g", 0.0)
-            spec.absorb = tuple(p.get_vec3("absorb", (0.0021, 0.0041, 0.0071)))
-            spec.scatter_prime = tuple(
-                p.get_vec3("scatter_prime", (2.19, 2.62, 3.00))
-            )
+            if p.has("Kd"):
+                # albedo + mean free path -> sigma_a/sigma_s' by bisection
+                # (reference convertFromDiffuse,
+                # src/GoblinMaterial.cpp:177-212, 884-902)
+                from ..shading.bssrdf import convert_from_diffuse, fresnel_a
+
+                sa, ssp = convert_from_diffuse(
+                    p.get_vec3("Kd", (0.5, 0.5, 0.5)),
+                    p.get_vec3("mean_free_path", (1.0, 1.0, 1.0)),
+                    fresnel_a(spec.eta),
+                )
+                spec.absorb = tuple(float(v) for v in sa)
+                spec.scatter_prime = tuple(float(v) for v in ssp)
+            else:
+                # marble defaults (src/GoblinMaterial.cpp:909,919);
+                # texture-name refs resolve to their constant value
+                def _sigma(key, default):
+                    v = raw.get(key, None)
+                    if isinstance(v, str):
+                        tid = color_tex.get(v, -1)
+                        if tid >= 0:
+                            return tuple(
+                                float(x)
+                                for x in builder.color_textures[tid].value[:3]
+                            )
+                        return default
+                    if v is None:
+                        return default
+                    return tuple(float(x) for x in v)
+
+                spec.absorb = _sigma("absorb", (0.0021, 0.0041, 0.0071))
+                spec.scatter_prime = _sigma(
+                    "scatter_prime", (2.19, 2.62, 3.00)
+                )
         elif kind == "mask":
             spec.kind = MAT_MASK
             spec.tex_f1 = float_tex_id(p, "alpha", 1.0)

@@ -35,6 +35,54 @@ ADDRESS_BORDER = 2
 
 FILTER_NEAREST = 0
 FILTER_BILINEAR = 1
+FILTER_TRILINEAR = 2
+FILTER_EWA = 3
+
+EWA_TAPS = 8  # fixed taps along the footprint's major axis (EWA approx)
+
+
+def _build_pyramid(img: np.ndarray):
+    """Resize to pow2 (bilinear) then 2x2 box-average down to 1x1 — the
+    TPU-friendly analogue of the reference's gaussian resize + pyramid
+    (src/GoblinTexture.cpp:39-128, 524-598). Returns list of (H,W,3)."""
+
+    def pow2(n):
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+
+    h, w = img.shape[:2]
+    H, W = pow2(h), pow2(w)
+    if (H, W) != (h, w):
+        ys = (np.arange(H) + 0.5) * h / H - 0.5
+        xs = (np.arange(W) + 0.5) * w / W - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (ys - y0).clip(0, 1)[:, None, None]
+        fx = (xs - x0).clip(0, 1)[None, :, None]
+        img = (
+            img[y0][:, x0] * (1 - fy) * (1 - fx)
+            + img[y0][:, x1] * (1 - fy) * fx
+            + img[y1][:, x0] * fy * (1 - fx)
+            + img[y1][:, x1] * fy * fx
+        )
+    levels = [img.astype(np.float32)]
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+        cur = levels[-1]
+        ch, cw = cur.shape[:2]
+        nh, nw = max(1, ch // 2), max(1, cw // 2)
+        cur = cur[: nh * 2, : nw * 2] if ch > 1 and cw > 1 else cur
+        if ch > 1 and cw > 1:
+            nxt = cur.reshape(nh, 2, nw, 2, 3).mean(axis=(1, 3))
+        elif ch > 1:
+            nxt = cur[: nh * 2].reshape(nh, 2, cw, 3).mean(axis=1)
+        else:
+            nxt = cur[:, : nw * 2].reshape(ch, nw, 2, 3).mean(axis=2)
+        levels.append(nxt.astype(np.float32))
+    return levels
 
 
 @dataclass
@@ -86,6 +134,7 @@ class TextureSystem:
         chunks = []
         offset = 0
         self.image_info = {}
+        self.mip_info = {}  # spec id -> (offsets, hs, ws) np arrays per level
         for i, s in enumerate(specs):
             if s.kind == TEX_IMAGE and s.image is not None:
                 img = np.asarray(s.image, dtype=np.float32)
@@ -96,9 +145,27 @@ class TextureSystem:
                 img = img.reshape(h, w, c)
                 if c < 3:
                     img = np.repeat(img[:, :, :1], 3, axis=2)
+                img = img[:, :, :3]
                 self.image_info[i] = (offset, h, w)
-                chunks.append(img[:, :, :3].reshape(-1))
-                offset += h * w * 3
+                if s.filter >= FILTER_TRILINEAR:
+                    levels = _build_pyramid(img)
+                    offs, hs, ws = [], [], []
+                    for lv in levels:
+                        lh, lw = lv.shape[:2]
+                        offs.append(offset)
+                        hs.append(lh)
+                        ws.append(lw)
+                        chunks.append(lv.reshape(-1))
+                        offset += lh * lw * 3
+                    self.image_info[i] = (offs[0], hs[0], ws[0])
+                    self.mip_info[i] = (
+                        np.asarray(offs, np.int32),
+                        np.asarray(hs, np.int32),
+                        np.asarray(ws, np.int32),
+                    )
+                else:
+                    chunks.append(img.reshape(-1))
+                    offset += h * w * 3
         self.atlas = (
             jnp.asarray(np.concatenate(chunks))
             if chunks
@@ -123,38 +190,15 @@ class TextureSystem:
 
     # -- evaluation --------------------------------------------------------
 
-    def _eval_image(self, spec_id, uv, atlas=None):
-        s = self.specs[spec_id]
-        if atlas is None:
-            atlas = self.atlas
-        off, h, w = self.image_info[spec_id]
-        # uv arrives pre-mapped by _spec_uv (scale/offset or spherical)
-        u = uv[..., 0]
-        v = uv[..., 1]
+    def _bilinear(self, s, atlas, off, h, w, u, v):
+        """Bilinear fetch; off/h/w may be python ints or per-lane arrays
+        (the trilinear path gathers them per-lane from the mip tables)."""
 
         def addr(x, n):
             if s.address == ADDRESS_REPEAT:
                 return jnp.mod(x, n)
             return jnp.clip(x, 0, n - 1)
 
-        if s.filter == FILTER_NEAREST:
-            xi = jnp.floor(u * w).astype(jnp.int32)
-            yi = jnp.floor(v * h).astype(jnp.int32)
-            inside = (
-                (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-                if s.address == ADDRESS_BORDER
-                else None
-            )
-            xi, yi = addr(xi, w), addr(yi, h)
-            base = off + (yi * w + xi) * 3
-            rgb = jnp.stack(
-                [jnp.take(atlas, base + k, mode="clip") for k in range(3)],
-                axis=-1,
-            )
-            if inside is not None:
-                rgb = jnp.where(inside[..., None], rgb, 0.0)
-            return rgb
-        # bilinear
         fx = u * w - 0.5
         fy = v * h - 0.5
         x0 = jnp.floor(fx).astype(jnp.int32)
@@ -183,6 +227,99 @@ class TextureSystem:
                 out = out + wgt * rgb
         return out
 
+    def _mip_bilinear(self, s, spec_id, atlas, lvl_i, u, v):
+        offs, hs, ws = self.mip_info[spec_id]
+        off = jnp.take(jnp.asarray(offs), lvl_i)
+        h = jnp.take(jnp.asarray(hs), lvl_i)
+        w = jnp.take(jnp.asarray(ws), lvl_i)
+        return self._bilinear(s, atlas, off, h, w, u, v)
+
+    def _eval_image(self, spec_id, uv, atlas=None, duv=None, duv4=None):
+        s = self.specs[spec_id]
+        if atlas is None:
+            atlas = self.atlas
+        off, h, w = self.image_info[spec_id]
+        # uv arrives pre-mapped by _spec_uv (scale/offset or spherical)
+        u = uv[..., 0]
+        v = uv[..., 1]
+
+        if s.filter == FILTER_NEAREST:
+            def addr(x, n):
+                if s.address == ADDRESS_REPEAT:
+                    return jnp.mod(x, n)
+                return jnp.clip(x, 0, n - 1)
+
+            xi = jnp.floor(u * w).astype(jnp.int32)
+            yi = jnp.floor(v * h).astype(jnp.int32)
+            inside = (
+                (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                if s.address == ADDRESS_BORDER
+                else None
+            )
+            xi, yi = addr(xi, w), addr(yi, h)
+            base = off + (yi * w + xi) * 3
+            rgb = jnp.stack(
+                [jnp.take(atlas, base + k, mode="clip") for k in range(3)],
+                axis=-1,
+            )
+            if inside is not None:
+                rgb = jnp.where(inside[..., None], rgb, 0.0)
+            return rgb
+
+        if s.filter < FILTER_TRILINEAR or spec_id not in self.mip_info \
+                or duv is None:
+            return self._bilinear(s, atlas, off, h, w, u, v)
+
+        # --- MIPMap paths (reference src/GoblinTexture.cpp:131-271)
+        n_levels = len(self.mip_info[spec_id][0])
+        su, sv = abs(s.map_scale[0]), abs(s.map_scale[1])
+        wu = jnp.abs(duv[..., 0]) * su * w
+        wv = jnp.abs(duv[..., 1]) * sv * h
+
+        if s.filter == FILTER_EWA and duv4 is not None:
+            # EWA approximated TPU-style: minor axis picks the mip level,
+            # EWA_TAPS gaussian-weighted bilinear taps march the major
+            # axis (anisotropic filtering; reference's LUT ellipse scan
+            # is a data-dependent loop, hostile to fixed-shape kernels)
+            axu = duv4[..., 0] * su
+            axv = duv4[..., 1] * sv
+            ayu = duv4[..., 2] * su
+            ayv = duv4[..., 3] * sv
+            lx = jnp.sqrt((axu * w) ** 2 + (axv * h) ** 2)
+            ly = jnp.sqrt((ayu * w) ** 2 + (ayv * h) ** 2)
+            x_major = lx >= ly
+            minor = jnp.minimum(lx, ly)
+            maj_u = jnp.where(x_major, axu, ayu)
+            maj_v = jnp.where(x_major, axv, ayv)
+            lvl = jnp.log2(jnp.clip(minor, 1.0, None))
+            lvl = jnp.clip(lvl, 0.0, n_levels - 1)
+            l0 = lvl.astype(jnp.int32)
+            l1 = jnp.minimum(l0 + 1, n_levels - 1)
+            f = (lvl - l0)[..., None]
+            out = 0.0
+            wsum = 0.0
+            for k in range(EWA_TAPS):
+                sfrac = (k + 0.5) / EWA_TAPS - 0.5
+                gw = float(np.exp(-2.0 * (2.0 * sfrac) ** 2))
+                uq = u + sfrac * maj_u
+                vq = v + sfrac * maj_v
+                tap = (1.0 - f) * self._mip_bilinear(
+                    s, spec_id, atlas, l0, uq, vq
+                ) + f * self._mip_bilinear(s, spec_id, atlas, l1, uq, vq)
+                out = out + gw * tap
+                wsum += gw
+            return out / wsum
+
+        # trilinear: level from the max footprint extent, lerp two levels
+        width = jnp.maximum(jnp.maximum(wu, wv), 1e-6)
+        lvl = jnp.clip(jnp.log2(jnp.clip(width, 1.0, None)), 0.0, n_levels - 1)
+        l0 = lvl.astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n_levels - 1)
+        f = (lvl - l0)[..., None]
+        v0 = self._mip_bilinear(s, spec_id, atlas, l0, u, v)
+        v1 = self._mip_bilinear(s, spec_id, atlas, l1, u, v)
+        return (1.0 - f) * v0 + f * v1
+
     def _spec_uv(self, s, uv, p):
         """Per-spec texture coordinates: uv mapping (scale+offset) or
         spherical mapping of the world position (reference
@@ -206,7 +343,8 @@ class TextureSystem:
             axis=-1,
         )
 
-    def eval_all(self, uv, atlas=None, const=None, p=None, duv=None):
+    def eval_all(self, uv, atlas=None, const=None, p=None, duv=None,
+                 duv4=None):
         """Evaluate every texture at uv (..., 2) -> (X, ..., 3) stack.
 
         atlas/const: scene-pytree arrays (scene["tex_atlas"] /
@@ -265,7 +403,9 @@ class TextureSystem:
                 base = vals[s.child0]
                 v = base * const[i]
             elif s.kind == TEX_IMAGE:
-                v = self._eval_image(i, self._spec_uv(s, uv, p), atlas)
+                v = self._eval_image(
+                    i, self._spec_uv(s, uv, p), atlas, duv=duv, duv4=duv4
+                )
             else:
                 raise ValueError(s.kind)
             vals[i] = v
