@@ -8,8 +8,13 @@ replicated film arrays (XLA inserts the cross-device reduction), and
 parameter gradients are combined by the same GSPMD partitioner — over ICI
 on a real slice, over the fake CPU mesh in tests.
 
-On multi-host slices the same mesh spans hosts via
-jax.distributed.initialize(); nothing here changes.
+On multi-host slices the same mesh spans hosts: processes bootstrap via
+parallel.multihost.init_from_env() (jax.distributed.initialize), after
+which jax.devices() is the global device list and make_mesh() spans
+hosts; host-side arrays are placed with multihost.global_put so each
+process contributes its addressable shards. tests/test_multihost.py
+runs the real 2-process × 4-fake-device path and asserts film equality
+with the single-process render.
 """
 
 from __future__ import annotations
@@ -35,8 +40,10 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
 
 def replicate_scene(scene, mesh: Mesh):
     """Place every scene array replicated on the mesh."""
+    from .multihost import global_put
+
     rep = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), scene)
+    return jax.tree_util.tree_map(lambda a: global_put(a, rep), scene)
 
 
 def make_sharded_render_step(scene, meta, li_fn, mesh: Mesh,
@@ -101,18 +108,20 @@ def render_sharded(scene, meta, li_fn, mesh: Mesh, spp=None,
         )
         valid_all[n_pix:] = False
 
+    from .multihost import global_put
+
     rep = NamedSharding(mesh, P())
     ray_sh = NamedSharding(mesh, P(axis))
     color, weight = film_mod.new_film(spec)
-    color = jax.device_put(color, rep)
-    weight = jax.device_put(weight, rep)
+    color = global_put(color, rep)
+    weight = global_put(weight, rep)
     for s in range(n_spp):
         for c in range(n_chunks):
             sl = slice(c * chunk_size, (c + 1) * chunk_size)
             color, weight = step(
                 color, weight,
-                jax.device_put(jnp.asarray(pixel_ids_all[sl]), ray_sh),
-                jax.device_put(jnp.asarray(valid_all[sl]), ray_sh),
+                global_put(pixel_ids_all[sl], ray_sh),
+                global_put(valid_all[sl], ray_sh),
                 jnp.int32(s),
             )
     return film_mod.to_image(color, weight, normalize=True)
