@@ -45,17 +45,41 @@ _D = DIM_BASE
 
 
 def _walk(scene, meta, ids, s_idx, seed, start_p, start_d, tp0, mode,
-          max_len, salt):
+          max_len, salt, env_sphere=None):
     """Shared random walk: returns stacked surface vertices (V, R, ...)
     with fields p, ns, uv, mat, light, eps, wo (to prev), tp, pdf_fwd,
-    pdf_bwd (directional pdfs / |cos|), is_spec, G (to prev), valid."""
+    pdf_bwd (directional pdfs / |cos|), is_spec, G (to prev), is_env,
+    valid.
+
+    env_sphere: (world_center, world_radius, env_light_id) — when given
+    (eye walk in an IBL scene), rays that escape the scene synthesize a
+    *virtual light vertex* on the world bounding sphere (inward normal,
+    light = env id, no BSDF): the environment becomes an ordinary
+    emissive surface so every s=0 "eye path ends on a light" strategy
+    and every MIS chain works unchanged. The walk terminates there."""
     R = ids.shape[0]
 
     def body(carry, b):
         o, d, eps, tp, active, prev_p, prev_ns = carry
         frag = scn.intersect(scene, meta, o, d, eps,
                              jnp.full((R,), 3.0e37, jnp.float32))
-        valid = active & frag["hit"]
+        escaped = jnp.zeros((R,), bool)
+        if env_sphere is not None:
+            wc, wr, env_lid = env_sphere
+            escaped = active & ~frag["hit"]
+            oc = o - wc
+            bq = vm.dot(d, oc)
+            disc = jnp.maximum(bq * bq - (vm.squared_length(oc) - wr * wr),
+                               0.0)
+            t_sph = jnp.maximum(-bq + jnp.sqrt(disc), 1e-3)  # far root
+            p_sph = o + t_sph[:, None] * d
+            n_sph = vm.normalize(wc - p_sph, eps=1e-30)  # inward
+            e_mask = escaped[:, None]
+            frag = dict(frag)
+            frag["p"] = jnp.where(e_mask, p_sph, frag["p"])
+            frag["ns"] = jnp.where(e_mask, n_sph, frag["ns"])
+            frag["light"] = jnp.where(escaped, env_lid, frag["light"])
+        valid = active & (frag["hit"] | escaped)
         mat = gather_material(
             scene, meta, frag,
             u_mask=hash_uniform(seed, ids, s_idx, b, salt + 3),
@@ -86,8 +110,9 @@ def _walk(scene, meta, ids, s_idx, seed, start_p, start_d, tp0, mode,
             "wo": frag["wo"], "tp": jnp.where(valid[:, None], tp, 0.0),
             "pdf_fwd": pdf_fwd, "pdf_bwd": pdf_bwd,
             "is_spec": bs["is_specular"], "G": G, "valid": valid,
+            "is_env": escaped,
         }
-        cont = valid & bs["valid"] & jnp.any(bs["f"] > 0.0, -1)
+        cont = valid & ~escaped & bs["valid"] & jnp.any(bs["f"] > 0.0, -1)
         tp2 = tp * bs["f"] / jnp.maximum(pdf_fwd, 1e-20)[:, None]
         tp2 = jnp.where(cont[:, None], tp2, 0.0)
         return (frag["p"], bs["wi"], frag["eps"], tp2, cont, frag["p"],
@@ -149,8 +174,11 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
                            em["pdf_dir"] / jnp.maximum(cos_l, 1e-20))
     # only directional lights have sampleDirection pdf != pdfDirection
     l0_spec = lights["type"][lid] == lt.LIGHT_DIRECTIONAL
+    from ..splatting import _env_le_at
+
     l0_tp = 1.0 / jnp.maximum(pdf_bwd_l0, 1e-20)
-    Le0 = lt.eval_emission(lights, lid, em["n"], em["dir"])
+    Le0 = lt.eval_emission(lights, lid, em["n"], em["dir"],
+                           env_le=_env_le_at(scene, meta, em["dir"]))
     walk_tp_l = (l0_tp / jnp.maximum(pdf_fwd_l0, 1e-20))[:, None] * Le0
     lverts = _walk(scene, meta, pixel_ids, s_idx, seed, em["p"], em["dir"],
                    walk_tp_l, bx.MODE_IMPORTANCE, max_len, _D + 10)
@@ -171,8 +199,13 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
     e0_tp = 1.0 / jnp.maximum(pdf_cam, 1e-20)
     walk_tp_e = (e0_tp * We / jnp.maximum(pdf_fwd_e0, 1e-20))[:, None]
     walk_tp_e = jnp.broadcast_to(walk_tp_e, (R, 3))
+    env_sphere = None
+    if meta.has_env:
+        env_sphere = (lights["world_center"], lights["world_radius"],
+                      jnp.int32(meta.env_light_id))
     everts = _walk(scene, meta, pixel_ids, s_idx, seed, p_cam, dir_e,
-                   walk_tp_e, bx.MODE_RADIANCE, max_len, _D + 20)
+                   walk_tp_e, bx.MODE_RADIANCE, max_len, _D + 20,
+                   env_sphere=env_sphere)
     everts["pdf_bwd"] = everts["pdf_bwd"].at[0].set(
         jnp.where(cam.is_delta, 0.0, everts["pdf_bwd"][0])
     )
@@ -210,13 +243,17 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
     def vertex_bsdf(verts, i, wo, wi, mode):
         frag = {"mat": verts["mat"][i - 1], "uv": verts["uv"][i - 1]}
         mat = gather_material(scene, meta, frag)
-        return bx.bsdf_eval(mat, verts["ns"][i - 1], wo, wi, bx.BSDF_ALL,
-                            mode=mode)
+        f = bx.bsdf_eval(mat, verts["ns"][i - 1], wo, wi, bx.BSDF_ALL,
+                         mode=mode)
+        # virtual env vertices carry no BSDF (like the reference's black-
+        # lambert area-light surface, connections through them are zero)
+        return jnp.where(verts["is_env"][i - 1][:, None], 0.0, f)
 
     def vertex_pdf(verts, i, wo, wi):
         frag = {"mat": verts["mat"][i - 1], "uv": verts["uv"][i - 1]}
         mat = gather_material(scene, meta, frag)
-        return bx.bsdf_pdf(mat, verts["ns"][i - 1], wo, wi, bx.BSDF_ALL)
+        pdf = bx.bsdf_pdf(mat, verts["ns"][i - 1], wo, wi, bx.BSDF_ALL)
+        return jnp.where(verts["is_env"][i - 1], 0.0, pdf)
 
     xs, ys, cs = [], [], []
     pick_table = lights["power"] / jnp.sum(lights["power"])
@@ -239,15 +276,18 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
 
             # ---------- unweighted contribution
             if s == 0:
-                # eye path end vertex IS a light
-                end_light = ev_get("light", t)
+                # eye path end vertex eyePath[t-1] IS a light (reference
+                # `s == 0 && !eyePath[t - 1].isLight()` skip,
+                # src/GoblinBDPT.cpp:119-122)
+                end_light = ev_get("light", t - 1)
                 ok = ok & (end_light >= 0)
-                wo = vm.normalize(ev_get("p", t - 1) - ev_get("p", t),
+                wo = vm.normalize(ev_get("p", t - 2) - ev_get("p", t - 1),
                                   eps=1e-30)
                 cst = lt.eval_emission(lights, jnp.maximum(end_light, 0),
-                                       ev_get("ns", t), wo)
+                                       ev_get("ns", t - 1), wo,
+                                       env_le=_env_le_at(scene, meta, wo))
                 aL = jnp.ones((R, 3))
-                aE = ev_get("tp", t)
+                aE = ev_get("tp", t - 1)
                 Gc = jnp.ones((R,))
                 sx, sy = x, y
                 scr_ok = jnp.ones((R,), bool)
@@ -258,7 +298,10 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
                 dist = jnp.maximum(vm.length(conn), 1e-20)
                 cd = conn / dist[:, None]
                 if s == 1:
-                    fsL = lt.eval_emission(lights, lid, em["n"], cd)
+                    fsL = lt.eval_emission(
+                        lights, lid, em["n"], cd,
+                        env_le=_env_le_at(scene, meta, cd),
+                    )
                 else:
                     woL = vm.normalize(lv_get("p", s - 2) - sp_, eps=1e-30)
                     fsL = vertex_bsdf(lverts, s - 1, woL, cd,
@@ -315,13 +358,13 @@ def _mis_weight(scene, meta, cam, lights, pick_table, lv_get, ev_get,
     zero = jnp.zeros((R,))
     # end-vertex pdf re-evaluation
     if s == 0:
-        end_light = jnp.maximum(ev_get("light", t), 0)
-        p = ev_get("p", t)
-        n = ev_get("ns", t)
+        end_light = jnp.maximum(ev_get("light", t - 1), 0)
+        p = ev_get("p", t - 1)
+        n = ev_get("ns", t - 1)
         pdfT_fwd = pick_table[end_light] * lt.pdf_emission_position(
             lights, end_light
         )
-        wo = vm.normalize(ev_get("p", t - 1) - p, eps=1e-30)
+        wo = vm.normalize(ev_get("p", t - 2) - p, eps=1e-30)
         pdfT_bwd = lt.pdf_emission_direction(lights, end_light, n, wo) / \
             jnp.where(vm.dot(n, wo) == 0, 1e-20, vm.dot(n, wo))
         pdfS_fwd = pdfS_bwd = zero

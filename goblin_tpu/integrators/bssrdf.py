@@ -9,7 +9,8 @@ Batched analogue of Renderer::Lsubsurface
   subsurface material), attenuate by both path segments.
 - multi scatter (LbssrdfDiffusion): sample a gaussian-falloff disc
   around the hit point along one of the shading axes (N:U:V picked
-  1:1:2), probe-trace to find a nearby surface point of the same
+  2:1:1, MIS power-heuristic weights 4:1:1 as in sampleProbeRay),
+  probe-trace to find a nearby surface point of the same
   material, evaluate the dipole Rd against the irradiance there, and
   MIS-combine the three axis strategies with the power heuristic
   (BSSRDF::MISWeight, src/GoblinMaterial.cpp:84-127).
@@ -222,8 +223,10 @@ def subsurface_L(scene, meta, frag, active, pixel_ids, s_idx, seed,
 
 
 def _phase_hg(wi, wo, g):
+    # same sign convention as volume.phase_hg / reference phaseHG
+    # (GoblinVolume.h:126-134): denom = 1 + g^2 - 2 g cos
     cos_t = vm.dot(wi, wo)
-    denom = 1.0 + g * g + 2.0 * g * cos_t
+    denom = 1.0 + g * g - 2.0 * g * cos_t
     return (1.0 - g * g) / jnp.maximum(
         4.0 * jnp.pi * denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12
     )

@@ -49,24 +49,48 @@ from .path import _area_light_Le, _em_tri_data, _env_le
 ALPHA = 0.7
 K_MAX = 32  # max visible points examined per photon cell (overflow counted)
 
-# low-discrepancy bases for the per-iteration camera-path dims
-# (reference PermutedHalton per pixel, src/GoblinSampler.cpp:659-748)
-_QMC_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+# low-discrepancy bases for the per-iteration camera-path dims — one
+# prime per (bounce, dim) pair, like the reference PermutedHalton which
+# assigns every declared sample dimension its own prime
+# (src/GoblinSampler.cpp:659-748). 64 primes cover 9 bounces of 7 dims
+# before reuse; reused pairs are >= 9 bounces apart and additionally
+# differ by the per-bounce Cranley-Patterson rotation.
+_QMC_PRIMES = (
+    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+    59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131,
+    137, 139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199,
+    211, 223, 227, 229, 233, 239, 241, 251, 257, 263, 269, 271, 277, 281,
+    283, 293, 307, 311,
+)
+QMC_N_DIMS = 7  # dims consumed per camera-path bounce
 
 
-def qmc_uniform(seed, pixel_ids, it, dim, salt=0):
-    """Per-pixel low-discrepancy stream over the *iteration* axis (the
-    progressive dimension SPPM converges along): radical inverse of the
-    iteration index in prime base `dim`, Cranley-Patterson rotated by a
-    per-(pixel, salt) hash shift. The rotation preserves each stream's
-    stratification across iterations while decorrelating pixels and
-    bounces — the stateless analogue of the reference's per-pixel
-    digit-permuted Halton (src/GoblinSampler.cpp:659-748). `dim` must be
-    static (selects the prime base); `salt` may be traced (bounce id)."""
+def qmc_table(it, max_len, n_dims=QMC_N_DIMS):
+    """Radical inverses of the (traced, scalar) iteration index for every
+    (bounce, dim) pair, each in its own prime base — computed once per
+    pass outside the bounce scan (the base must be static; the bounce id
+    inside a lax.scan is traced). Shape (max_len, n_dims)."""
     from ..core.sampling import radical_inverse
 
-    base = _QMC_PRIMES[dim % len(_QMC_PRIMES)]
-    h = radical_inverse(it, base)
+    rows = []
+    for b in range(max_len):
+        rows.append(jnp.stack([
+            radical_inverse(
+                it, _QMC_PRIMES[(b * n_dims + d) % len(_QMC_PRIMES)]
+            )
+            for d in range(n_dims)
+        ]))
+    return jnp.stack(rows)
+
+
+def qmc_uniform(seed, pixel_ids, h, dim, salt=0):
+    """Per-pixel low-discrepancy stream over the *iteration* axis (the
+    progressive dimension SPPM converges along): `h` is the bounce's
+    radical inverse from qmc_table, Cranley-Patterson rotated by a
+    per-(pixel, salt, dim) hash shift. The rotation preserves each
+    stream's stratification across iterations while decorrelating pixels
+    and bounces — the stateless analogue of the reference's per-pixel
+    digit-permuted Halton (src/GoblinSampler.cpp:659-748)."""
     shift = hash_uniform(seed, pixel_ids, jnp.int32(0x51C) + salt, 0, dim)
     return jnp.mod(h + shift, 1.0)
 
@@ -111,11 +135,14 @@ def make_ray_pass(scene, meta, seed, max_len, n_grid):
             "valid": jnp.zeros((R,), bool),
         }
 
-        def body(state, b):
+        h_tab = qmc_table(it, max_len)
+
+        def body(state, bh):
+            b, h = bh
             Ld, tp, frag, active, vp = state
             mat = gather_material(
                 scene, meta, frag,
-                u_mask=qmc_uniform(seed, pixel_ids, it, 0, salt=b),
+                u_mask=qmc_uniform(seed, pixel_ids, h[0], 0, salt=b),
             )
             ns, wo, p, eps = frag["ns"], frag["wo"], frag["p"], frag["eps"]
             path_len = b + 1
@@ -123,10 +150,10 @@ def make_ray_pass(scene, meta, seed, max_len, n_grid):
             # --- NEE (one light pick; shares the continuation sample for
             # the bsdf MIS side, PT-style)
             if meta.n_lights > 0:
-                u_pick = qmc_uniform(seed, pixel_ids, it, 1, salt=b)
+                u_pick = qmc_uniform(seed, pixel_ids, h[1], 1, salt=b)
                 lid, pick_pdf = lt.pick_light(lights, u_pick)
-                u1 = qmc_uniform(seed, pixel_ids, it, 2, salt=b)
-                u2 = qmc_uniform(seed, pixel_ids, it, 3, salt=b)
+                u1 = qmc_uniform(seed, pixel_ids, h[2], 2, salt=b)
+                u2 = qmc_uniform(seed, pixel_ids, h[3], 3, salt=b)
                 ls = lt.sample_li(lights, tri_data, lid, p, eps, u1, u2)
                 f_l = bx.bsdf_eval(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
                 consider = (
@@ -153,9 +180,9 @@ def make_ray_pass(scene, meta, seed, max_len, n_grid):
             # --- continuation sample (also the bsdf MIS side)
             bs = bx.bsdf_sample(
                 mat, ns, frag["dpdu"], wo,
-                qmc_uniform(seed, pixel_ids, it, 4, salt=b),
-                qmc_uniform(seed, pixel_ids, it, 5, salt=b),
-                qmc_uniform(seed, pixel_ids, it, 6, salt=b),
+                qmc_uniform(seed, pixel_ids, h[4], 4, salt=b),
+                qmc_uniform(seed, pixel_ids, h[5], 5, salt=b),
+                qmc_uniform(seed, pixel_ids, h[6], 6, salt=b),
                 bx.BSDF_ALL,
             )
             cont_ok = active & bs["valid"] & jnp.any(bs["f"] > 0.0, -1)
@@ -209,7 +236,9 @@ def make_ray_pass(scene, meta, seed, max_len, n_grid):
             return (Ld, tp, new_frag, active, vp), None
 
         init = (Ld, jnp.ones((R, 3), jnp.float32), frag, frag["hit"], vp_init)
-        (Ld, _, _, _, vp), _ = jax.lax.scan(body, init, jnp.arange(max_len))
+        (Ld, _, _, _, vp), _ = jax.lax.scan(
+            body, init, (jnp.arange(max_len), h_tab)
+        )
         return Ld, vp
 
     return ray_pass
@@ -235,7 +264,12 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
         # photon weight = Le * cos/(pdf_pos*pdf_dir*pick) * bsdf-chain;
         # verts["tp"] already carries everything except Le (and the walk
         # init already applies the reference's delta-light cos=1 rule)
-        le_scale = lt.eval_emission(lights, em["lid"], em["n"], em["dir"])
+        from ..splatting import _env_le_at
+
+        le_scale = lt.eval_emission(
+            lights, em["lid"], em["n"], em["dir"],
+            env_le=_env_le_at(scene, meta, em["dir"]),
+        )
 
         overflow = jnp.int32(0)
         D = verts["p"].shape[0]

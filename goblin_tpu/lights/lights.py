@@ -372,7 +372,17 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
     Mirrors the reference samplePosition/sampleDirection pairs
     (src/GoblinLight.cpp): point -> uniform sphere; directional -> world
     bounding-sphere disk + fixed dir; spot -> uniform cone; area ->
-    area-uniform triangle point + cosine hemisphere.
+    area-uniform triangle point + cosine hemisphere; ibl -> uniform
+    point on the world bounding sphere with inward normal + cosine
+    hemisphere about that normal
+    (ImageBasedLight::samplePosition/sampleDirection,
+    src/GoblinLight.cpp:557-583). Deliberate divergence: the reference
+    reports pdfArea = 1/(4pi) "omitting the radius factor", but the
+    actual area density of a uniform bounding-sphere point is
+    1/(4 pi r^2); using the true density keeps LT/BDPT particle
+    throughput unbiased (the omission cancels in MIS ratios but NOT in
+    absolute throughput — it shows up as an exactly r^2 energy deficit
+    in the LT-vs-PT env consistency test).
 
     Returns dict: p (R,3), n (R,3) (zeros for delta positions), dir
     (R,3), pdf_pos (R,), pdf_dir (R,), is_delta (R,).
@@ -431,16 +441,30 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
     is_dir = ltype == LIGHT_DIRECTIONAL
     is_spot = ltype == LIGHT_SPOT
     is_area = ltype == LIGHT_AREA
+    is_ibl = ltype == LIGHT_IBL
+
+    # ibl position: uniform point on the world bounding sphere, normal
+    # pointing inward (ImageBasedLight::samplePosition)
+    sph_dir = sp.uniform_sample_sphere(u_p1, u_p2)
+    p_ibl = wc + wr * sph_dir
+    n_ibl = -sph_dir
 
     p = jnp.where(
         is_area[..., None], p_area,
-        jnp.where(is_dir[..., None], p_dir, p_point),
+        jnp.where(
+            is_ibl[..., None], p_ibl,
+            jnp.where(is_dir[..., None], p_dir, p_point),
+        ),
     )
-    n = jnp.where(is_area[..., None], n_area, 0.0)
+    n_emit = jnp.where(is_ibl[..., None], n_ibl, n_area)
+    n = jnp.where((is_area | is_ibl)[..., None], n_emit, 0.0)
     pdf_pos = jnp.where(
         is_dir,
         1.0 / (jnp.pi * wr * wr),
-        jnp.where(is_area, 1.0 / jnp.maximum(lights["area"][lid], 1e-20), 1.0),
+        jnp.where(
+            is_area, 1.0 / jnp.maximum(lights["area"][lid], 1e-20),
+            jnp.where(is_ibl, 1.0 / (4.0 * jnp.pi * wr * wr), 1.0),
+        ),
     )
 
     # directions
@@ -453,14 +477,14 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
         + cone_local[..., 2:3] * ldir
     )
     cos_local = sp.cosine_sample_hemisphere(u_d1, u_d2)
-    ax, ay = vm.coordinate_system(n_area)
+    ax, ay = vm.coordinate_system(n_emit)
     d_cos = (
         cos_local[..., 0:1] * ax + cos_local[..., 1:2] * ay
-        + cos_local[..., 2:3] * n_area
+        + cos_local[..., 2:3] * n_emit
     )
 
     d = jnp.where(
-        is_area[..., None], d_cos,
+        (is_area | is_ibl)[..., None], d_cos,
         jnp.where(
             is_dir[..., None], jnp.broadcast_to(ldir, d_sphere.shape),
             jnp.where(is_spot[..., None], d_cone, d_sphere),
@@ -473,7 +497,7 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
             is_spot,
             sp.uniform_cone_pdf(lights["cos_theta_max"][lid]),
             jnp.where(
-                is_area,
+                is_area | is_ibl,
                 jnp.maximum(cos_local[..., 2], 0.0) * (1.0 / jnp.pi),
                 1.0,
             ),
@@ -486,8 +510,13 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
     }
 
 
-def eval_emission(lights, lid, n_light, wo):
-    """Emitted radiance/intensity toward wo (reference Light::eval)."""
+def eval_emission(lights, lid, n_light, wo, env_le=None):
+    """Emitted radiance/intensity toward wo (reference Light::eval).
+
+    env_le: (R,3) environment radiance for direction -wo (the caller
+    evaluates envmap.eval_env(scene, meta, -wo) when the scene has an
+    IBL — ImageBasedLight::eval looks the map up at -wo,
+    src/GoblinLight.cpp:600-608); IBL lanes emit 0 when omitted."""
     ltype = lights["type"][lid]
     lcolor = lights["color"][lid]
     is_point = ltype == LIGHT_POINT
@@ -499,12 +528,18 @@ def eval_emission(lights, lid, n_light, wo):
     parallel = jnp.abs(vm.dot(wo, ldir) - 1.0) < 1e-5
     dir_e = jnp.where(parallel[..., None], lcolor, 0.0)
     area_e = jnp.where((vm.dot(n_light, wo) > 0.0)[..., None], lcolor, 0.0)
+    ibl_e = env_le if env_le is not None else jnp.zeros_like(lcolor)
     return jnp.where(
         is_point[..., None], lcolor,
         jnp.where(
             is_spot[..., None], spot,
-            jnp.where(is_dir[..., None], dir_e,
-                      jnp.where(is_area[..., None], area_e, 0.0)),
+            jnp.where(
+                is_dir[..., None], dir_e,
+                jnp.where(
+                    is_area[..., None], area_e,
+                    jnp.where((ltype == LIGHT_IBL)[..., None], ibl_e, 0.0),
+                ),
+            ),
         ),
     )
 
@@ -512,7 +547,8 @@ def eval_emission(lights, lid, n_light, wo):
 def pdf_emission_direction(lights, lid, n_light, w):
     """Light::pdfDirection — pdf of emitting direction w from the light
     (solid angle): point -> 1/4pi; spot -> cone pdf; directional -> 0;
-    area -> cos/pi one-sided (reference per-type pdfDirection)."""
+    area / ibl -> cos/pi one-sided (reference per-type pdfDirection;
+    ImageBasedLight::pdfDirection src/GoblinLight.cpp:592-597)."""
     ltype = lights["type"][lid]
     cone = sp.uniform_cone_pdf(lights["cos_theta_max"][lid])
     cos_t = vm.dot(w, lights["direction"][lid])
@@ -525,7 +561,7 @@ def pdf_emission_direction(lights, lid, n_light, w):
             ltype == LIGHT_SPOT,
             cone,
             jnp.where(
-                ltype == LIGHT_AREA,
+                (ltype == LIGHT_AREA) | (ltype == LIGHT_IBL),
                 jnp.maximum(area_cos, 0.0) * (1.0 / jnp.pi),
                 0.0,
             ),
@@ -534,7 +570,10 @@ def pdf_emission_direction(lights, lid, n_light, w):
 
 
 def pdf_emission_position(lights, lid):
-    """Light::pdfPosition — area pdf of the emission position."""
+    """Light::pdfPosition — area pdf of the emission position (ibl: the
+    true bounding-sphere density 1/(4 pi r^2); see the sample_emission
+    docstring for the deliberate divergence from the reference's
+    radius-omitted 1/(4pi), src/GoblinLight.cpp:585-590)."""
     ltype = lights["type"][lid]
     wr = lights["world_radius"]
     return jnp.where(
@@ -543,7 +582,9 @@ def pdf_emission_position(lights, lid):
         jnp.where(
             ltype == LIGHT_AREA,
             1.0 / jnp.maximum(lights["area"][lid], 1e-20),
-            0.0,
+            jnp.where(
+                ltype == LIGHT_IBL, 1.0 / (4.0 * jnp.pi * wr * wr), 0.0
+            ),
         ),
     )
 

@@ -40,13 +40,25 @@ def render_context(path: str, overrides=None, chunk_size=1 << 14,
 
         return splatting.render_dispatch(scene, meta, method,
                                          chunk_size=chunk_size), meta
-    li = make_li(meta)
-
     def report(done, total):
         if progress:
             print(f"\rrender progress: {100.0 * done / total:.1f}%",
                   end="", file=sys.stderr, flush=True)
 
+    import os
+
+    use_regen = os.environ.get("GOBLIN_REGEN", "1") == "1"
+    if method in ("path_tracing", "path") and use_regen:
+        from .integrators import wavefront
+
+        if wavefront.supports(meta):
+            img = wavefront.render_wavefront(
+                scene, meta, pool=max(chunk_size, 1 << 14), report=report
+            )
+            if progress:
+                print(file=sys.stderr)
+            return img, meta
+    li = make_li(meta)
     img = common.render(scene, meta, li, chunk_size=chunk_size, report=report)
     if progress:
         print(file=sys.stderr)

@@ -294,7 +294,18 @@ class SceneBuilder:
                 areas[i] = em_area[LIGHT[em_sel] == i].sum()
         for center, radius, _m, lgt in spheres:
             if lgt >= 0:
-                areas[lgt] += 4.0 * np.pi * radius * radius
+                # a light must be either triangle-backed or a single
+                # sphere: sample_li routes is_sphere lights exclusively
+                # through the cone-sampling path, so mixing emitter kinds
+                # (or two spheres) under one light id would corrupt the
+                # area pdf and silently never sample the other emitters
+                if areas[lgt] > 0.0 or light_is_sphere[lgt]:
+                    raise ValueError(
+                        f"area light {lgt} has multiple emitter "
+                        "geometries (sphere + triangles or two spheres); "
+                        "declare one light per emitter geometry"
+                    )
+                areas[lgt] = 4.0 * np.pi * radius * radius
                 sph_l_center[lgt] = center
                 sph_l_radius[lgt] = radius
                 light_is_sphere[lgt] = True
@@ -302,11 +313,14 @@ class SceneBuilder:
 
         env_power = 0.0
         if self.env_light_id >= 0 and self.env_image is not None:
-            # mean luminance * disk area approx (reference IBL power uses
-            # bounding sphere: Lmean * pi * r^2)
+            # reference ImageBasedLight::power: averageRadiance * PI *
+            # (4 PI r^2) on the scene bounding sphere
+            # (src/GoblinLight.cpp:610-618)
             img = self.env_image
             lum = 0.212671 * img[..., 0] + 0.715160 * img[..., 1] + 0.072169 * img[..., 2]
-            env_power = float(lum.mean() * np.pi * world_radius ** 2)
+            env_power = float(
+                lum.mean() * np.pi * 4.0 * np.pi * world_radius ** 2
+            )
 
         lights = bake_lights(
             self.lights, LIGHT[em_sel], em_area, world_center, world_radius,

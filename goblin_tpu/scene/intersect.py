@@ -455,6 +455,11 @@ def occluded_attenuated(scene, meta: SceneMeta, o, d, mint, maxt,
         cur_mint = jnp.where(punch, frag["t"] + frag["eps"], cur_mint)
         done = done | blocked | ~frag["hit"] \
             | (punch & jnp.all(tr <= 0.0, axis=-1))
+    # lanes that punched through all max_punch layers without resolving
+    # are treated as occluded — conservative darkening instead of leaking
+    # light past an untested opaque occluder (the reference loop is
+    # unbounded, src/GoblinPathtracer.cpp:21-48)
+    occ = occ | ~done
     return occ, tr
 
 

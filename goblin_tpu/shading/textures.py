@@ -9,9 +9,10 @@ handful of textures a scene declares this is cheaper on TPU than per-lane
 dispatch, and it keeps control flow static for XLA.
 
 Image data lives in one flat f32 atlas; each image texture stores
-(offset, height, width, channels). Nearest and bilinear lookups are
-implemented; trilinear/EWA MIPMap filtering is future work (reference
-src/GoblinTexture.cpp:131-271).
+(offset, height, width, channels). Filtering: nearest, bilinear,
+trilinear over a baked mip pyramid, and an approximated EWA (gaussian
+taps marched along the ellipse's major axis) — reference
+src/GoblinTexture.cpp:131-271.
 """
 
 from __future__ import annotations

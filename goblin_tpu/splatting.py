@@ -28,6 +28,16 @@ from .lights import lights as lt
 from .scene import intersect as scn
 from .shading import bsdf as bx
 
+def _env_le_at(scene, meta, wo):
+    """Env radiance for emission eval: ImageBasedLight::eval looks the
+    map up at -wo (src/GoblinLight.cpp:600-608). None without an IBL."""
+    if not meta.has_env:
+        return None
+    from .lights import envmap
+
+    return envmap.eval_env(scene, meta, -wo)
+
+
 # dim layout for the light walk
 DIM_PICK = DIM_BASE + 0
 DIM_POS1 = DIM_BASE + 1
@@ -146,7 +156,8 @@ def light_trace_contributions(scene, meta, path_ids, s_idx, seed,
     sx, sy, _, scr_ok = cam.world_to_screen(p_light, p_cam)
     eps = 1e-3 * dist
     occ = scn.occluded(scene, meta, p_light, wo, eps, dist - eps)
-    fsl = lt.eval_emission(lights, lid, n_light, wo)
+    fsl = lt.eval_emission(lights, lid, n_light, wo,
+                           env_le=_env_le_at(scene, meta, wo))
     G = vm.absdot(n_cam, wo) / jnp.maximum(dist * dist, 1e-20)
     G = G * jnp.where(em["is_delta"], 1.0, vm.absdot(n_light, wo))
     we = cam.eval_we(p_cam, p_light)
@@ -157,7 +168,8 @@ def light_trace_contributions(scene, meta, path_ids, s_idx, seed,
     cs.append(jnp.where(ok1[:, None], c1, 0.0))
 
     # ---- s >= 2: surface vertices (static unroll over the stack)
-    fsl_light = lt.eval_emission(lights, lid, n_light, dir_light)
+    fsl_light = lt.eval_emission(lights, lid, n_light, dir_light,
+                                 env_le=_env_le_at(scene, meta, dir_light))
     D = max_path_length - 1
     for d in range(D):
         p = verts["p"][d]
