@@ -47,7 +47,6 @@ from .materials import gather_material
 from .path import _area_light_Le, _em_tri_data, _env_le
 
 ALPHA = 0.7
-K_MAX = 32  # max visible points examined per photon cell (overflow counted)
 
 # low-discrepancy bases for the per-iteration camera-path dims — one
 # prime per (bounce, dim) pair, like the reference PermutedHalton which
@@ -250,10 +249,11 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
     @jax.jit
     def photon_pass(photon_ids, it, grid, vp, radius, Phi, Mi):
         """grid: dict(bbox_min, inv_len, entry_hash (sorted, E), entry_pix,
-        seg_start implicit via searchsorted). Returns updated
-        (Phi, Mi, overflow) where overflow counts photon-cell pairs whose
-        visible-point list exceeded K_MAX (dropped energy, reported by the
-        driver rather than silently capped)."""
+        seg_start implicit via searchsorted). Returns updated (Phi, Mi).
+        Each photon drains its WHOLE cell entry list via a while_loop
+        (trip count = the chunk's largest cell) — no deposit cap, flux is
+        conserved exactly like the reference's per-cell linked-list walk
+        (src/GoblinSPPM.cpp:391-462)."""
         from ..splatting import walk_light_paths
 
         R = photon_ids.shape[0]
@@ -271,8 +271,8 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
             env_le=_env_le_at(scene, meta, em["dir"]),
         )
 
-        overflow = jnp.int32(0)
         D = verts["p"].shape[0]
+        E = grid["entry_hash"].shape[0]
         for d in range(D):
             path_len = d + 1
             if path_len <= 1:
@@ -288,13 +288,12 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
             h = _hash_cells(c[:, 0], c[:, 1], c[:, 2], n_pix)
             start = jnp.searchsorted(grid["entry_hash"], h, side="left")
             end = jnp.searchsorted(grid["entry_hash"], h, side="right")
-            overflow = overflow + jnp.sum(
-                jnp.where(valid, jnp.maximum(end - start - K_MAX, 0), 0)
-            )
-            E = grid["entry_hash"].shape[0]
-            for k in range(K_MAX):
+            end = jnp.where(valid, end, start)  # dead photons: empty range
+
+            def deposit_k(carry):
+                k, Phi_c, Mi_c = carry
                 idx = jnp.minimum(start + k, E - 1)
-                ok = valid & (start + k < end)
+                ok = start + k < end
                 pix = grid["entry_pix"][idx]
                 vp_p = vp["p"][pix]
                 vp_len = vp["len"][pix]
@@ -310,9 +309,18 @@ def make_photon_pass(scene, meta, seed, max_len, n_pix):
                 fs = bx.bsdf_eval(mat_v, vp["ns"][pix], vp["wo"][pix], wi,
                                   bx.BSDF_ALL)
                 contrib = jnp.where(ok[:, None], fs * wgt, 0.0)
-                Phi = Phi.at[pix].add(contrib)
-                Mi = Mi.at[pix].add(ok.astype(jnp.float32))
-        return Phi, Mi, overflow
+                Phi_c = Phi_c.at[pix].add(contrib)
+                Mi_c = Mi_c.at[pix].add(ok.astype(jnp.float32))
+                return k + 1, Phi_c, Mi_c
+
+            def deposit_cond(carry):
+                k = carry[0]
+                return jnp.any(start + k < end)
+
+            _, Phi, Mi = jax.lax.while_loop(
+                deposit_cond, deposit_k, (jnp.int32(0), Phi, Mi)
+            )
+        return Phi, Mi
 
     return photon_pass
 
@@ -405,19 +413,23 @@ def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
     for it in range(iterations):
         Ld_it, vp = ray_pass(pixel_ids, jnp.int32(it))
         Ld_acc = Ld_acc + Ld_it
-        # initial radius heuristic when unset (reference :241-253)
+        # initial radius heuristic when unset (reference :241-253),
+        # computed on device — no host round trip
         if it == 0 and init_radius <= 0.0:
-            p = np.asarray(vp["p"])
-            valid = np.asarray(vp["valid"])
-            if valid.any():
-                lo = p[valid].min(axis=0)
-                hi = p[valid].max(axis=0)
-                r0 = float(
-                    ((hi - lo).sum() / 3.0) / ((xc + yc) / 2.0) * 2.0
-                ) or 1e-5
-            else:
-                r0 = 1e-5
-            radius = jnp.full((n_pix,), r0, jnp.float32)
+
+            @jax.jit
+            def auto_radius(vp):
+                big = jnp.float32(3e38)
+                v = vp["valid"][:, None]
+                lo = jnp.min(jnp.where(v, vp["p"], big), axis=0)
+                hi = jnp.max(jnp.where(v, vp["p"], -big), axis=0)
+                r0 = ((hi - lo).sum() / 3.0) / ((xc + yc) / 2.0) * 2.0
+                r0 = jnp.where(
+                    jnp.any(vp["valid"]) & (r0 > 0.0), r0, 1e-5
+                )
+                return jnp.full((n_pix,), r0, jnp.float32)
+
+            radius = auto_radius(vp)
         grid = build_grid(vp, radius, n_pix)
         Phi = jnp.zeros((n_pix, 3), jnp.float32)
         Mi = jnp.zeros((n_pix,), jnp.float32)
@@ -428,12 +440,8 @@ def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
         for c in range(n_chunks):
             ids = jnp.arange(emitted + c * cs, emitted + (c + 1) * cs,
                              dtype=jnp.int32)
-            Phi, Mi, ovf = photon_pass(ids, jnp.int32(it), grid, vp,
-                                       radius, Phi, Mi)
-            if int(ovf) > 0:
-                print(f"[sppm] iteration {it}: {int(ovf)} photon-cell "
-                      f"pairs exceeded K_MAX={K_MAX} visible points "
-                      "(energy dropped; increase K_MAX for dense caustics)")
+            Phi, Mi = photon_pass(ids, jnp.int32(it), grid, vp,
+                                  radius, Phi, Mi)
         emitted += n_chunks * cs
         Ni, Tau, radius = update(Ni, Tau, radius, Phi, Mi, vp["tp"],
                                  vp["valid"])

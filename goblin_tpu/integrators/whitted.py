@@ -30,6 +30,7 @@ def make_li(meta, max_depth=None):
     if max_depth is None:
         max_depth = int(meta.settings.get("max_ray_depth", 5))
     n_lights = max(1, meta.n_lights)
+    sample_nums = tuple(getattr(meta, "light_sample_nums", ()) or ())
 
     def li(scene, meta_, ray, pixel_ids, s_idx, seed):
         lights = scene["lights"]
@@ -64,39 +65,117 @@ def make_li(meta, max_depth=None):
                 scene, meta, frag,
                 u_mask=hash_uniform(seed, pixel_ids, s_idx, b, DIM_BASE + 9),
             )
-            # ---- NEE over every light (static loop; n_lights is small)
+            # ---- NEE over every light x its sample_num (static loops;
+            # reference multiSampleLd: per light, samplesNum MIS
+            # estimates averaged then summed over lights —
+            # GoblinRenderer.cpp:474-500; both the light-sample and the
+            # bsdf-sample side of estimateLd, with the non-specular type
+            # mask Whitted passes — GoblinWhitted.cpp:30-32)
+            nee_type = bx.BSDF_ALL & ~bx.BSDF_SPECULAR
             Ld = jnp.zeros((R, 3), jnp.float32)
+            dim0 = DIM_BASE + 16
             for li_id in range(n_lights):
+                sn = max(1, sample_nums[li_id]) if li_id < len(
+                    sample_nums) else 1
+                is_env_light = meta.has_env and li_id == meta.env_light_id
                 lid = jnp.full((R,), li_id, jnp.int32)
-                u1 = hash_uniform(seed, pixel_ids, s_idx, b,
-                                  DIM_BASE + 10 + 4 * li_id)
-                u2 = hash_uniform(seed, pixel_ids, s_idx, b,
-                                  DIM_BASE + 11 + 4 * li_id)
-                ls = lt.sample_li(lights, tri_data, lid, p, eps, u1, u2)
-                f_l = bx.bsdf_eval(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
-                consider = (
-                    active & (ls["pdf"] > 0.0)
-                    & jnp.any(ls["Li"] > 0.0, axis=-1)
-                    & jnp.any(f_l > 0.0, axis=-1)
-                )
-                occ, tr_null = scn.occluded_attenuated(
-                    scene, meta, p, ls["wi"],
-                    jnp.where(consider, eps, scn.BIG_T),
-                    jnp.where(consider, ls["shadow_maxt"], 0.0),
-                )
-                vis = consider & ~occ
-                bsdf_pdf_l = bx.bsdf_pdf(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
-                w_l = jnp.where(
-                    ls["is_delta"], 1.0,
-                    power_heuristic(1.0, ls["pdf"], 1.0, bsdf_pdf_l),
-                )
-                Ld = Ld + jnp.where(
-                    vis[:, None],
-                    f_l * tr_null * ls["Li"]
-                    * (vm.absdot(ns, ls["wi"]) * w_l
-                       / jnp.maximum(ls["pdf"], 1e-20))[:, None],
-                    0.0,
-                )
+                Ld_i = jnp.zeros((R, 3), jnp.float32)
+                for n_s in range(sn):
+                    u1 = hash_uniform(seed, pixel_ids, s_idx, b, dim0)
+                    u2 = hash_uniform(seed, pixel_ids, s_idx, b, dim0 + 1)
+                    # --- light-sample side
+                    if is_env_light:
+                        from ..lights import envmap
+
+                        li_e, wi_e, pdf_e = envmap.sample_env(
+                            scene, meta, u1, u2
+                        )
+                        ls = {
+                            "Li": li_e, "wi": wi_e, "pdf": pdf_e,
+                            "shadow_maxt": jnp.full((R,), 3.0e37),
+                            "is_delta": jnp.zeros((R,), bool),
+                        }
+                    else:
+                        ls = lt.sample_li(lights, tri_data, lid, p, eps,
+                                          u1, u2)
+                    f_l = bx.bsdf_eval(mat, ns, wo, ls["wi"], nee_type)
+                    consider = (
+                        active & (ls["pdf"] > 0.0)
+                        & jnp.any(ls["Li"] > 0.0, axis=-1)
+                        & jnp.any(f_l > 0.0, axis=-1)
+                    )
+                    occ, tr_null = scn.occluded_attenuated(
+                        scene, meta, p, ls["wi"],
+                        jnp.where(consider, eps, scn.BIG_T),
+                        jnp.where(consider, ls["shadow_maxt"], 0.0),
+                    )
+                    vis = consider & ~occ
+                    bsdf_pdf_l = bx.bsdf_pdf(mat, ns, wo, ls["wi"],
+                                             nee_type)
+                    w_l = jnp.where(
+                        ls["is_delta"], 1.0,
+                        power_heuristic(1.0, ls["pdf"], 1.0, bsdf_pdf_l),
+                    )
+                    Ld_i = Ld_i + jnp.where(
+                        vis[:, None],
+                        f_l * tr_null * ls["Li"]
+                        * (vm.absdot(ns, ls["wi"]) * w_l
+                           / jnp.maximum(ls["pdf"], 1e-20))[:, None],
+                        0.0,
+                    )
+                    # --- bsdf-sample side (masked off at runtime for
+                    # delta lights: their light-side is exact)
+                    bsu1 = hash_uniform(seed, pixel_ids, s_idx, b,
+                                        dim0 + 2)
+                    bsu2 = hash_uniform(seed, pixel_ids, s_idx, b,
+                                        dim0 + 3)
+                    bsc = hash_uniform(seed, pixel_ids, s_idx, b,
+                                       dim0 + 4)
+                    bsn = bx.bsdf_sample(
+                        mat, ns, frag["dpdu"], wo, bsu1, bsu2, bsc,
+                        nee_type,
+                    )
+                    b_ok = (
+                        active & ~ls["is_delta"] & bsn["valid"]
+                        & jnp.any(bsn["f"] > 0.0, axis=-1)
+                        & ~bsn["is_specular"]
+                    )
+                    fragb = scn.intersect(
+                        scene, meta, p, bsn["wi"],
+                        jnp.where(b_ok, eps, scn.BIG_T),
+                        jnp.where(b_ok, 3.0e37, 0.0),
+                    )
+                    if is_env_light:
+                        from ..lights import envmap
+
+                        pdf_l_b = envmap.pdf_env(scene, meta,
+                                                 bsn["wi"])
+                        Li_b = _env_le(scene, meta, bsn["wi"])
+                        got = b_ok & ~fragb["hit"]
+                    else:
+                        cos_l = vm.dot(fragb["ns"], -bsn["wi"])
+                        pdf_l_b = lt.pdf_li(
+                            lights, lid, p, bsn["wi"], fragb["t"],
+                            cos_l, fragb["light"],
+                        )
+                        Li_b = _area_light_Le(scene, fragb,
+                                              -bsn["wi"])
+                        got = (
+                            b_ok & fragb["hit"]
+                            & (fragb["light"] == lid)
+                        )
+                    w_f = power_heuristic(1.0, bsn["pdf"], 1.0,
+                                          pdf_l_b)
+                    got = got & (pdf_l_b > 0.0)
+                    Ld_i = Ld_i + jnp.where(
+                        got[:, None],
+                        bsn["f"] * Li_b
+                        * (vm.absdot(bsn["wi"], ns) * w_f
+                           / jnp.maximum(bsn["pdf"], 1e-20))[:, None],
+                        0.0,
+                    )
+                    dim0 += 8
+                Ld = Ld + Ld_i / float(sn)
             L = L + jnp.where(active[:, None], throughput * Ld, 0.0)
 
             # ---- specular continuation only

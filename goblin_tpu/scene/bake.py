@@ -83,6 +83,9 @@ class SceneMeta:
     has_null: bool = False  # any mask (BSDF_NULL-capable) material
     has_env: bool = False
     env_light_id: int = -1
+    # per-light NEE sample counts (reference Light::getSamplesNum, used
+    # by Whitted's multiSampleLd — GoblinRenderer.cpp:474-500)
+    light_sample_nums: tuple = ()
     output_path: str = "goblin.exr"
     # ray-trace backend: "pallas" = TPU packet kernel (ops/pallas_trace),
     # "jnp" = lockstep skip-link traversal (accel/traverse)
@@ -452,6 +455,9 @@ class SceneBuilder:
             has_null=any(m.kind == MAT_MASK for m in self.materials),
             has_env=self.env_light_id >= 0,
             env_light_id=self.env_light_id,
+            light_sample_nums=tuple(
+                int(n) for n in self.lights.sample_nums
+            ),
             output_path=self.output_path,
             trace_backend=trace_backend,
             trace_rows=trace_rows,

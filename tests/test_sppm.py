@@ -81,3 +81,96 @@ def test_sppm_radius_shrinks(tmp_path):
     img = np.asarray(render_sppm(scene, meta, chunk_size=512, iterations=2))
     assert np.isfinite(img).all()
     assert img.max() < 1e3
+
+
+def test_photon_deposit_flux_conserved_dense_cell(tmp_path):
+    """The sort-based grid + while-drain deposit must find EXACTLY the
+    same (photon, visible-point) pairs as a brute-force O(N*P) sweep —
+    including when hundreds of visible points share one cell (the
+    dense-caustic regime that previously overflowed a fixed K_MAX cap
+    and silently dropped energy)."""
+    import jax.numpy as jnp
+
+    from goblin_tpu.integrators.sppm import build_grid, make_photon_pass
+    from goblin_tpu.integrators.materials import gather_material
+    from goblin_tpu.lights import lights as lt
+    from goblin_tpu.shading import bsdf as bx
+    from goblin_tpu.splatting import walk_light_paths, _env_le_at
+    from goblin_tpu.core import vecmath as vm
+
+    p = _scene(str(tmp_path), spp=2, depth=3)
+    scene, meta = load_scene(p)
+    n_pix = 320
+    seed = 123
+    max_len = 3
+
+    # dense visible-point cloud: all points in a tiny disc on the floor
+    # under the light -> one (or few) grid cells hold ALL of them
+    rng = np.random.default_rng(0)
+    # cluster on the WALL (z=2): bounced photons' second vertices land
+    # there, so path_len=2 deposits hit the dense cell
+    pts = np.zeros((n_pix, 3), np.float32)
+    pts[:, 0] = rng.uniform(-1.0, 1.0, n_pix)
+    pts[:, 1] = rng.uniform(0.0, 2.0, n_pix)
+    pts[:, 2] = 2.0
+    vp = {
+        "p": jnp.asarray(pts),
+        "ns": jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n_pix, 3)),
+        "dpdu": jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n_pix, 3)),
+        "uv": jnp.zeros((n_pix, 2)),
+        "mat": jnp.full((n_pix,), 1, jnp.int32),
+        "wo": jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n_pix, 3)),
+        "tp": jnp.ones((n_pix, 3)),
+        "len": jnp.ones((n_pix,), jnp.int32),
+        "valid": jnp.ones((n_pix,), bool),
+    }
+    radius = jnp.full((n_pix,), 2.5, jnp.float32)
+    grid = build_grid(vp, radius, n_pix)
+
+    photon_pass = make_photon_pass(scene, meta, seed, max_len, n_pix)
+    ids = jnp.arange(256, dtype=jnp.int32)
+    Phi = jnp.zeros((n_pix, 3))
+    Mi = jnp.zeros((n_pix,))
+    Phi, Mi = photon_pass(ids, jnp.int32(0), grid, vp, radius, Phi, Mi)
+    Phi, Mi = np.asarray(Phi), np.asarray(Mi)
+
+    # brute force O(N*P): rerun the identical light walk and test every
+    # (photon vertex, visible point) pair directly
+    em, verts = walk_light_paths(scene, meta, ids, jnp.int32(0), seed,
+                                 max_len + 1, mode=bx.MODE_RADIANCE)
+    le_scale = lt.eval_emission(
+        scene["lights"], em["lid"], em["n"], em["dir"],
+        env_le=_env_le_at(scene, meta, em["dir"]),
+    )
+    Phi_bf = np.zeros((n_pix, 3), np.float32)
+    Mi_bf = np.zeros(n_pix, np.float32)
+    D = verts["p"].shape[0]
+    for d in range(D):
+        path_len = d + 1
+        if path_len <= 1:
+            continue
+        pd = np.asarray(verts["p"][d])
+        valid = np.asarray(verts["valid"][d])
+        wgt = np.asarray(verts["tp"][d] * le_scale)
+        wi = verts["wo_prev"][d]
+        frag_v = {"mat": vp["mat"], "uv": vp["uv"]}
+        mat_v = gather_material(scene, meta, frag_v)
+        for j in range(ids.shape[0]):
+            if not valid[j]:
+                continue
+            d2 = ((np.asarray(vp["p"]) - pd[j]) ** 2).sum(axis=-1)
+            ok = (d2 <= np.asarray(radius) ** 2) & (
+                np.asarray(vp["len"]) + path_len <= max_len
+            )
+            if not ok.any():
+                continue
+            fs = np.asarray(bx.bsdf_eval(
+                mat_v, vp["ns"], vp["wo"],
+                jnp.broadcast_to(wi[j], (n_pix, 3)), bx.BSDF_ALL,
+            ))
+            Phi_bf[ok] += fs[ok] * wgt[j]
+            Mi_bf[ok] += 1.0
+    assert Mi_bf.sum() > n_pix  # the dense regime actually exercised
+    np.testing.assert_allclose(Mi, Mi_bf, rtol=0, atol=0.5)
+    np.testing.assert_allclose(Phi.sum(), Phi_bf.sum(), rtol=1e-4)
+    np.testing.assert_allclose(Phi, Phi_bf, rtol=1e-3, atol=1e-5)
