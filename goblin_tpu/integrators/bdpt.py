@@ -110,7 +110,7 @@ def _walk(scene, meta, ids, s_idx, seed, start_p, start_d, tp0, mode,
             "wo": frag["wo"], "tp": jnp.where(valid[:, None], tp, 0.0),
             "pdf_fwd": pdf_fwd, "pdf_bwd": pdf_bwd,
             "is_spec": bs["is_specular"], "G": G, "valid": valid,
-            "is_env": escaped,
+            "is_env": escaped, "is_lens": frag["is_lens"] & valid,
         }
         cont = valid & ~escaped & bs["valid"] & jnp.any(bs["f"] > 0.0, -1)
         tp2 = tp * bs["f"] / jnp.maximum(pdf_fwd, 1e-20)[:, None]
@@ -225,6 +225,7 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
                 "pdf_fwd": pdf_fwd_l0, "pdf_bwd": pdf_bwd_l0,
                 "is_spec": l0_spec, "G": jnp.zeros((R,)),
                 "light": lid, "mat": None,
+                "is_lens": jnp.zeros((R,), bool),
             }[field]
         return lverts[field][i - 1]
 
@@ -237,6 +238,7 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
                 "pdf_fwd": pdf_fwd_e0, "pdf_bwd": pdf_cam,
                 "is_spec": jnp.zeros((R,), bool), "G": jnp.zeros((R,)),
                 "light": jnp.full((R,), -1, jnp.int32), "mat": None,
+                "is_lens": jnp.zeros((R,), bool),
             }[field]
         return everts[field][i - 1]
 
@@ -268,8 +270,8 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
                 continue
             if (s == 0 and t < 2) or (t == 0 and s < 2) or s + t < 2:
                 continue
-            if t == 0:
-                continue  # lens-in-scene strategies need a lens prim
+            if t == 0 and (cam.is_delta or not meta.has_lens):
+                continue  # lens-hit strategies need a lens primitive
             if s > max_len + 1 or t > max_len + 1:
                 continue
             ok = (s <= l_count) & (t <= e_count)
@@ -291,6 +293,19 @@ def bdpt_contributions(scene, meta, pixel_ids, s_idx, seed, max_len,
                 Gc = jnp.ones((R,))
                 sx, sy = x, y
                 scr_ok = jnp.ones((R,), bool)
+            elif t == 0:
+                # light path end vertex hit the camera lens: splat at the
+                # re-projected pixel (reference GoblinBDPT.cpp:127-133,
+                # evalUnweightedContribution t==0 branch :303-306)
+                ok = ok & lv_get("is_lens", s - 1)
+                pS1 = lv_get("p", s - 1)
+                pS2 = lv_get("p", s - 2)
+                cst = cam.eval_we(pS1, pS2)[:, None] * jnp.ones((R, 3))
+                sx, sy, _, scr_ok = cam.world_to_screen(pS2, pS1)
+                ok = ok & scr_ok
+                aL = lv_get("tp", s - 1)
+                aE = jnp.ones((R, 3))
+                Gc = jnp.ones((R,))
             else:
                 sp_ = lv_get("p", s - 1)
                 tp_ = ev_get("p", t - 1)
@@ -368,6 +383,21 @@ def _mis_weight(scene, meta, cam, lights, pick_table, lv_get, ev_get,
         pdfT_bwd = lt.pdf_emission_direction(lights, end_light, n, wo) / \
             jnp.where(vm.dot(n, wo) == 0, 1e-20, vm.dot(n, wo))
         pdfS_fwd = pdfS_bwd = zero
+    elif t == 0:
+        # light path end vertex is the camera lens (reference evalMIS
+        # t==0 branch, GoblinBDPT.cpp:397-405). Divergence note: our
+        # pdf_position is the true 1/(pi r^2); the reference's has a
+        # parenthesization slip (see module docstring).
+        p = lv_get("p", s - 1)
+        n = lv_get("ns", s - 1)
+        pdfS_fwd = jnp.broadcast_to(
+            jnp.asarray(cam.pdf_position(), jnp.float32), (R,)
+        )
+        wo = vm.normalize(lv_get("p", s - 2) - p, eps=1e-30)
+        pdfS_bwd = cam.pdf_direction(wo) / jnp.where(
+            vm.dot(n, wo) == 0, 1e-20, vm.dot(n, wo)
+        )
+        pdfT_fwd = pdfT_bwd = zero
     else:
         sp_ = lv_get("p", s - 1)
         tp_ = ev_get("p", t - 1)

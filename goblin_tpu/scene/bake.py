@@ -75,6 +75,8 @@ class SceneMeta:
     n_materials: int = 0
     n_lights: int = 0
     n_spheres: int = 0
+    n_disks: int = 0
+    has_lens: bool = False  # a camera-lens disk is in the scene
     texture_system: TextureSystem = None
     float_texture_system: TextureSystem = None
     max_leaf: int = 4
@@ -186,9 +188,9 @@ class SceneBuilder:
         tri_light = [np.zeros(0, np.int32)]
         spheres = []  # (center, radius, mat, light)
 
+        disks = []  # (center, n, u_dir, radius, mat, light, is_lens)
+
         for rec in self.instances:
-            if rec.is_camera_lens:
-                continue
             g = rec.geometry
             if isinstance(g, tuple) and g[0] == "sphere":
                 m = rec.to_world
@@ -197,10 +199,30 @@ class SceneBuilder:
                 spheres.append((center, float(g[1]) * float(s), rec.material,
                                 rec.area_light))
                 continue
+            if isinstance(g, tuple) and g[0] == "disk" and rec.area_light < 0:
+                # analytic z=0-plane disk (reference GoblinDisk.cpp:12-56)
+                # — exact silhouette; used for plain disks and the
+                # camera-lens primitive. Disks BACKING AREA LIGHTS keep
+                # the triangle-fan path below so the emissive-triangle
+                # sampling machinery applies unchanged (documented
+                # tessellation approximation).
+                m = rec.to_world
+                center = m[:3, 3].astype(np.float32)
+                n = np.linalg.inv(m[:3, :3]).T @ np.float32([0, 0, 1])
+                n = (n / max(np.linalg.norm(n), 1e-20)).astype(np.float32)
+                u_dir = m[:3, :3] @ np.float32([1, 0, 0])
+                u_dir = u_dir - n * float(u_dir @ n)
+                u_dir = (u_dir / max(np.linalg.norm(u_dir), 1e-20)).astype(
+                    np.float32
+                )
+                s = np.linalg.norm(m[:3, 0])
+                disks.append((center, n, u_dir, float(g[1]) * float(s),
+                              rec.material, rec.area_light,
+                              rec.is_camera_lens))
+                continue
             if isinstance(g, tuple) and g[0] == "disk":
-                # tessellate disks into a triangle fan (64 wedges): disks
-                # appear as area-light geometry and camera lenses; fan
-                # tessellation keeps one uniform triangle path on device
+                # tessellate area-light disks into a triangle fan
+                # (64 wedges) so they enter the emissive-triangle tables
                 r = float(g[1])
                 k = 64
                 ang = np.linspace(0, 2 * np.pi, k + 1)
@@ -266,9 +288,17 @@ class SceneBuilder:
         order = bvh.order
         V, N, UV, MAT, LIGHT = V[order], N[order], UV[order], MAT[order], LIGHT[order]
 
-        # world bounds for directional/IBL emission + auto radii
+        # world bounds for directional/IBL emission + auto radii —
+        # includes analytic spheres and disks (reference scene bbox spans
+        # every primitive)
         bmin = V.reshape(-1, 3).min(axis=0)
         bmax = V.reshape(-1, 3).max(axis=0)
+        for c_, r_, _m, _l in spheres:
+            bmin = np.minimum(bmin, np.asarray(c_) - r_)
+            bmax = np.maximum(bmax, np.asarray(c_) + r_)
+        for c_, _n, _u, r_, _m, _l, _cl in disks:
+            bmin = np.minimum(bmin, np.asarray(c_) - r_)
+            bmax = np.maximum(bmax, np.asarray(c_) + r_)
         world_center = 0.5 * (bmin + bmax)
         # reference BBox::getBoundingSphere uses the *full* diagonal length
         # as radius (src/GoblinBBox.h:51-54)
@@ -434,6 +464,29 @@ class SceneBuilder:
                 np.asarray([s[3] for s in spheres], np.int32)
             )
 
+        if disks:
+            scene["dsk_center"] = jnp.asarray(
+                np.stack([d[0] for d in disks]).astype(np.float32)
+            )
+            scene["dsk_n"] = jnp.asarray(
+                np.stack([d[1] for d in disks]).astype(np.float32)
+            )
+            scene["dsk_u"] = jnp.asarray(
+                np.stack([d[2] for d in disks]).astype(np.float32)
+            )
+            scene["dsk_radius"] = jnp.asarray(
+                np.asarray([d[3] for d in disks], np.float32)
+            )
+            scene["dsk_mat"] = jnp.asarray(
+                np.asarray([d[4] for d in disks], np.int32)
+            )
+            scene["dsk_light"] = jnp.asarray(
+                np.asarray([d[5] for d in disks], np.int32)
+            )
+            scene["dsk_lens"] = jnp.asarray(
+                np.asarray([d[6] for d in disks], bool)
+            )
+
         meta = SceneMeta(
             camera=self.camera,
             settings=dict(self.settings),
@@ -443,6 +496,8 @@ class SceneBuilder:
             n_materials=M,
             n_lights=len(self.lights.types),
             n_spheres=len(spheres),
+            n_disks=len(disks),
+            has_lens=any(d[6] for d in disks),
             texture_system=tex_sys,
             float_texture_system=ftex_sys,
             max_leaf=max_leaf,

@@ -104,6 +104,28 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
     return TraceResult(hit, t, tri, b1, b2)
 
 
+def _disk_pass(scene, o, d, mint, cur_t):
+    """Dense test against analytic z=0-plane disks (world-space plane
+    form; reference GoblinDisk.cpp:12-56). Returns (hit_id, t)."""
+    D = scene["dsk_center"].shape[0]
+    best_t = cur_t
+    best = jnp.full(o.shape[:-1], -1, jnp.int32)
+    for k in range(D):  # D is small and static
+        c = scene["dsk_center"][k]
+        n = scene["dsk_n"][k]
+        r = scene["dsk_radius"][k]
+        den = vm.dot(d, n)
+        ok_den = jnp.abs(den) > 1e-7
+        t = vm.dot(c - o, n) / jnp.where(ok_den, den, 1.0)
+        p = o + t[..., None] * d
+        q = p - c
+        in_r = vm.squared_length(q) <= r * r
+        upd = ok_den & in_r & (t >= mint) & (t < best_t)
+        best_t = jnp.where(upd, t, best_t)
+        best = jnp.where(upd, k, best)
+    return best, best_t
+
+
 def _sphere_pass(scene, o, d, mint, cur_t):
     """Dense test against analytic spheres; returns (hit_id, t) with
     hit_id = -1 when no sphere beats cur_t."""
@@ -156,6 +178,15 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
     else:
         sph_hit = jnp.zeros_like(hit)
 
+    if meta.n_disks > 0:
+        dsk_id, t3 = _disk_pass(scene, o, d, mint, t)
+        dsk_hit = dsk_id >= 0
+        hit = hit | dsk_hit
+        t = jnp.where(dsk_hit, t3, t)
+        sph_hit = sph_hit & ~dsk_hit  # a closer disk wins the lane
+    else:
+        dsk_hit = jnp.zeros_like(hit)
+
     # --- refine triangles
     tri_c = jnp.maximum(tri, 0)
     soup = jnp.take(scene["tri_soup"], tri_c, axis=0)
@@ -173,7 +204,9 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
     qvec = jnp.cross(tvec, e1)
     b2_d = vm.dot(d, qvec) * inv_mt
     t_d = vm.dot(e2, qvec) * inv_mt
-    tri_hit = hit & ~sph_hit & (tri >= 0) & (jnp.abs(det_mt) >= 1e-20)
+    tri_hit = (
+        hit & ~sph_hit & ~dsk_hit & (tri >= 0) & (jnp.abs(det_mt) >= 1e-20)
+    )
     t = jnp.where(tri_hit, t_d, t)
     b1 = jnp.where(tri_hit, b1_d, b1)
     b2 = jnp.where(tri_hit, b2_d, b2)
@@ -255,7 +288,45 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
         )
         dpdu_deriv = dpdu_tri
 
+    if meta.n_disks > 0:
+        # analytic-disk shading frame (reference GoblinDisk.cpp:31-61:
+        # uv = (phi/2pi, r/R), dpdu = [-2pi y, 2pi x], dpdv = R*[x,y]/r
+        # in the disk's local frame; normal is the local +z, one-sided)
+        did = jnp.maximum(dsk_id, 0)
+        dc = jnp.take(scene["dsk_center"], did, axis=0)
+        dn = jnp.take(scene["dsk_n"], did, axis=0)
+        du_ax = jnp.take(scene["dsk_u"], did, axis=0)
+        dr = jnp.take(scene["dsk_radius"], did)
+        dv_ax = jnp.cross(dn, du_ax)
+        q = p - dc
+        xl = vm.dot(q, du_ax)
+        yl = vm.dot(q, dv_ax)
+        rl = jnp.sqrt(jnp.maximum(xl * xl + yl * yl, 1e-20))
+        phi = jnp.arctan2(yl, xl)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        uv_d = jnp.stack(
+            [phi / (2.0 * jnp.pi), rl / jnp.maximum(dr, 1e-20)], axis=-1
+        )
+        two_pi = 2.0 * jnp.pi
+        dpdu_d = two_pi * (-yl[..., None] * du_ax + xl[..., None] * dv_ax)
+        dpdv_d = (dr / rl)[..., None] * (
+            xl[..., None] * du_ax + yl[..., None] * dv_ax
+        )
+        m = dsk_hit[..., None]
+        ns = jnp.where(m, dn, ns)
+        ng = jnp.where(m, dn, ng)
+        uv = jnp.where(m, uv_d, uv)
+        dpdu = jnp.where(m, dpdu_d, dpdu)
+        dpdv = jnp.where(m, dpdv_d, dpdv)
+        dpdu_deriv = jnp.where(m, dpdu_d, dpdu_deriv)
+        mat = jnp.where(dsk_hit, jnp.take(scene["dsk_mat"], did), mat)
+        light = jnp.where(dsk_hit, jnp.take(scene["dsk_light"], did), light)
+        is_lens = dsk_hit & jnp.take(scene["dsk_lens"], did)
+    else:
+        is_lens = jnp.zeros_like(hit)
+
     frag = {
+        "is_lens": is_lens,
         "hit": hit,
         "t": t,
         "p": p,
@@ -474,4 +545,7 @@ def occluded(scene, meta: SceneMeta, o, d, mint, maxt):
     if meta.n_spheres > 0:
         sph_id, _ = _sphere_pass(scene, o, d, mint, maxt)
         occ = occ | (sph_id >= 0)
+    if meta.n_disks > 0:
+        dsk_id, _ = _disk_pass(scene, o, d, mint, maxt)
+        occ = occ | (dsk_id >= 0)
     return occ

@@ -89,6 +89,10 @@ def load_scene(path: str, overrides: dict | None = None):
         "debug_s": rs.get_int("debug_s", -1),
         "debug_t": rs.get_int("debug_t", -1),
         "debug_no_mis": rs.get_bool("debug_no_mis", False),
+        # extension: light-tracer strategy toggle (t1 | t0 | s1), the
+        # runtime analogue of the reference's compile-time splatFilm
+        # alternates (src/GoblinLightTracer.h:30-46)
+        "lt_strategy": rs.get_string("lt_strategy", "t1"),
         "seed": rs.get_int("seed", 0),
     }
 
@@ -139,6 +143,23 @@ def load_scene(path: str, overrides: dict | None = None):
         film_width=cam_p.get_float("film_width", 35.0),
         film=film_spec,
     )
+    lens_r = cam_p.get_float("lens_radius", 0.0)
+    if lens_r > 0.0:
+        # synthesize the camera-lens disk instance (black lambert, at the
+        # camera pose) so light particles can hit it — BDPT t=0 / LT
+        # splatFilmT0 (reference GoblinContextLoader.cpp:148-175)
+        lens_black = builder.add_material(
+            MatSpec(kind=MAT_LAMBERT, tex_c0=builder.add_color_texture(
+                TexSpec(value=np.zeros(3, np.float32))))
+        )
+        builder.add_instance(
+            InstanceRecord(
+                geometry=("disk", lens_r),
+                material=lens_black,
+                to_world=get_transform(cam_p),
+                is_camera_lens=True,
+            )
+        )
 
     # --- volume
     vol_raw = doc.get("volume")

@@ -100,6 +100,7 @@ def walk_light_paths(scene, meta, path_ids, s_idx, seed, max_path_length,
             "wo_prev": frag["wo"],
             "tp": jnp.where(valid[:, None], tp, 0.0),
             "valid": valid,
+            "is_lens": frag["is_lens"] & valid,
         }
         mat = gather_material(
             scene, meta, frag,
@@ -200,15 +201,164 @@ def light_trace_contributions(scene, meta, path_ids, s_idx, seed,
     return jnp.concatenate(xs), jnp.concatenate(ys), jnp.concatenate(cs)
 
 
+def light_trace_t0_contributions(scene, meta, path_ids, s_idx, seed,
+                                 max_path_length):
+    """splatFilmT0 (reference src/GoblinLightTracer.cpp:180-238): the
+    light walk deposits only when a vertex hits the camera-lens disk —
+    contribution = light.eval * We * throughput-at-lens, splat at the
+    re-projected pixel. Requires a lens primitive (lens_radius > 0)."""
+    lights = scene["lights"]
+    cam = meta.camera
+    em, verts = walk_light_paths(
+        scene, meta, path_ids, s_idx, seed, max_path_length
+    )
+    fsl = lt.eval_emission(lights, em["lid"], em["n"], em["dir"],
+                           env_le=_env_le_at(scene, meta, em["dir"]))
+    xs, ys, cs = [], [], []
+    D = max_path_length - 1
+    for d in range(D):
+        p_lens = verts["p"][d]
+        p_prev = em["p"] if d == 0 else verts["p"][d - 1]
+        lens_hit = verts["is_lens"][d]
+        sx, sy, _, scr_ok = cam.world_to_screen(p_prev, p_lens)
+        we = cam.eval_we(p_lens, p_prev)
+        c = fsl * verts["tp"][d] * we[:, None]
+        ok = lens_hit & scr_ok & jnp.any(c > 0, axis=-1)
+        xs.append(jnp.where(ok, sx, -1e9))
+        ys.append(jnp.where(ok, sy, -1e9))
+        cs.append(jnp.where(ok[:, None], c, 0.0))
+    return jnp.concatenate(xs), jnp.concatenate(ys), jnp.concatenate(cs)
+
+
+def light_trace_s1_contributions(scene, meta, path_ids, s_idx, seed,
+                                 max_path_length):
+    """splatFilmS1 (reference src/GoblinLightTracer.cpp:239-333): camera
+    walk, every vertex connected to ONE light position sample (no MIS) —
+    the PT-shaped alternate estimator of the LT verification trio."""
+    lights = scene["lights"]
+    tri_data = _em_tri_data(scene)
+    cam = meta.camera
+    spec = cam.film
+    R = path_ids.shape[0]
+
+    u_pick = hash_uniform(seed, path_ids, s_idx, 0, DIM_PICK)
+    lid, pick_pdf = lt.pick_light(lights, u_pick)
+    em = lt.sample_emission(
+        lights, tri_data, lid,
+        hash_uniform(seed, path_ids, s_idx, 0, DIM_POS1),
+        hash_uniform(seed, path_ids, s_idx, 0, DIM_POS2),
+        hash_uniform(seed, path_ids, s_idx, 0, DIM_DIR1),
+        hash_uniform(seed, path_ids, s_idx, 0, DIM_DIR2),
+    )
+    p_light, n_light = em["p"], em["n"]
+    l_tp = 1.0 / jnp.maximum(em["pdf_pos"] * pick_pdf, 1e-20)
+
+    # camera start: random film position
+    px = hash_uniform(seed, path_ids, s_idx, 0x7FFD, 0) * spec.x_res
+    py = hash_uniform(seed, path_ids, s_idx, 0x7FFD, 1) * spec.y_res
+    lu = hash_uniform(seed, path_ids, s_idx, 0x7FFE, 0)
+    lv = hash_uniform(seed, path_ids, s_idx, 0x7FFE, 1)
+    p_cam, n_cam, pdf_cam = cam.sample_position(lu, lv)
+    dir_e, We, pdf_dir_e = cam.sample_direction(px, py, p_cam)
+    cam_tp = 1.0 / jnp.maximum(pdf_cam, 1e-20)
+    tp = (cam_tp * vm.absdot(n_cam, dir_e)
+          / jnp.maximum(pdf_dir_e, 1e-20))[:, None] * jnp.ones((R, 3))
+
+    # eye walk (importance transport is NOT used: radiance mode — the
+    # reference's sampleBSDF default)
+    o, dseg, eps = p_cam, dir_e, jnp.full((R,), 1e-3, jnp.float32)
+    verts = []
+    active = jnp.ones((R,), bool)
+    for _ in range(max_path_length - 1):
+        frag = scn.intersect(scene, meta, o, dseg, eps,
+                             jnp.where(active, 3.0e37, 0.0))
+        valid = active & frag["hit"]
+        verts.append({
+            "p": frag["p"], "ns": frag["ns"], "mat": frag["mat"],
+            "uv": frag["uv"], "wo": frag["wo"], "eps": frag["eps"],
+            "tp": jnp.where(valid[:, None], tp, 0.0), "valid": valid,
+        })
+        mat = gather_material(scene, meta, frag)
+        bs = bx.bsdf_sample(
+            mat, frag["ns"], frag["dpdu"], frag["wo"],
+            hash_uniform(seed, path_ids, s_idx, len(verts), DIM_B1),
+            hash_uniform(seed, path_ids, s_idx, len(verts), DIM_B2),
+            hash_uniform(seed, path_ids, s_idx, len(verts), DIM_BC),
+            bx.BSDF_ALL,
+        )
+        active = valid & bs["valid"] & jnp.any(bs["f"] > 0.0, -1)
+        tp = jnp.where(
+            active[:, None],
+            tp * bs["f"] * (vm.absdot(bs["wi"], frag["ns"])
+                            / jnp.maximum(bs["pdf"], 1e-20))[:, None],
+            0.0,
+        )
+        o, dseg, eps = frag["p"], bs["wi"], frag["eps"]
+
+    xs, ys, cs = [], [], []
+    # t = 1: connect light to the camera vertex (re-projected pixel)
+    to_l = p_light - p_cam
+    dist = jnp.maximum(vm.length(to_l), 1e-20)
+    wi = to_l / dist[:, None]
+    eps_c = 1e-3 * dist
+    occ = scn.occluded(scene, meta, p_cam, wi, eps_c, dist - eps_c)
+    sx, sy, _, scr_ok = cam.world_to_screen(p_light, p_cam)
+    fsE = cam.eval_we(p_cam, p_light)[:, None]
+    fsL = lt.eval_emission(lights, lid, n_light, -wi,
+                           env_le=_env_le_at(scene, meta, -wi))
+    G = vm.absdot(n_cam, wi) / (dist * dist)
+    G = G * jnp.where(em["is_delta"], 1.0, vm.absdot(n_light, wi))
+    c = fsL * fsE * (G * l_tp * cam_tp)[:, None]
+    ok = scr_ok & ~occ & jnp.any(c > 0, axis=-1)
+    xs.append(jnp.where(ok, sx, -1e9))
+    ys.append(jnp.where(ok, sy, -1e9))
+    cs.append(jnp.where(ok[:, None], c, 0.0))
+    # t >= 2: surface vertices, contribution at the sampled camera pixel
+    for t_i, v in enumerate(verts):
+        pv = v["p"]
+        to_l = p_light - pv
+        dist = jnp.maximum(vm.length(to_l), 1e-20)
+        wi = to_l / dist[:, None]
+        eps_c = 1e-3 * dist
+        occ = scn.occluded(scene, meta, pv, wi, eps_c, dist - eps_c)
+        frag_d = {"mat": v["mat"], "uv": v["uv"]}
+        mat = gather_material(scene, meta, frag_d)
+        f = bx.bsdf_eval(mat, v["ns"], v["wo"], wi, bx.BSDF_ALL)
+        fsE = f * We[:, None]
+        fsL = lt.eval_emission(lights, lid, n_light, -wi,
+                               env_le=_env_le_at(scene, meta, -wi))
+        G = vm.absdot(v["ns"], wi) / (dist * dist)
+        G = G * jnp.where(em["is_delta"], 1.0, vm.absdot(n_light, wi))
+        c = fsL * fsE * v["tp"] * (G * l_tp)[:, None]
+        ok = v["valid"] & ~occ & jnp.any(c > 0, axis=-1)
+        xs.append(jnp.where(ok, px, -1e9))
+        ys.append(jnp.where(ok, py, -1e9))
+        cs.append(jnp.where(ok[:, None], c, 0.0))
+    return jnp.concatenate(xs), jnp.concatenate(ys), jnp.concatenate(cs)
+
+
 def render_light_tracer(scene, meta, chunk_size=1 << 14, spp=None,
-                        seed=None):
-    """Full light-trace render -> image. Total paths = spp * pixelCount."""
+                        seed=None, strategy=None):
+    """Full light-trace render -> image. Total paths = spp * pixelCount.
+
+    strategy: "t1" (default; connect every vertex to the camera —
+    reference task default), "t0" (lens-hit only; needs lens_radius>0),
+    "s1" (camera walk + light connection). The reference implements all
+    three as cross-validation estimators
+    (src/GoblinLightTracer.h:30-46)."""
     spec = meta.camera.film
     if spp is None:
         spp = int(meta.settings.get("sample_per_pixel", 1))
     if seed is None:
         seed = int(meta.settings.get("seed", 0))
     max_len = max(1, int(meta.settings.get("max_ray_depth", 5)))
+    if strategy is None:
+        strategy = str(meta.settings.get("lt_strategy", "t1"))
+    contrib_fn = {
+        "t1": light_trace_contributions,
+        "t0": light_trace_t0_contributions,
+        "s1": light_trace_s1_contributions,
+    }[strategy]
 
     xs_, xc, ys_, yc = spec.crop_window()
     n_pix = xc * yc
@@ -217,7 +367,7 @@ def render_light_tracer(scene, meta, chunk_size=1 << 14, spp=None,
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def chunk_fn(color, weight, path_ids):
-        x, y, c = light_trace_contributions(
+        x, y, c = contrib_fn(
             scene, meta, path_ids, jnp.int32(0), seed, max_len
         )
         return film_mod.splat(spec, color, weight, x, y, c, normalized=True)
