@@ -4,17 +4,17 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target: 100 Mrays/s/chip (BASELINE.md).
 
-Methodology: times the production render path end-to-end (the
-regenerative wavefront driver — integrators/wavefront.py — which render.py
-uses for path_tracing; GOBLIN_REGEN=0 falls back to the chunked driver).
-Per pixel-sample the estimator performs 1 primary closest-hit plus
-(max_depth-1) x (1 shadow any-hit + 1 continuation closest-hit)
-= 1 + 2*(depth-1) estimator rays; that fixed count / wall time is the
-driver-comparable metric. The regenerative pool retires finished paths
-and immediately starts new ones, so hardware lanes stay busy:
-"lane_utilization" reports useful segments / traced lane-slots.
+Methodology: times the production render path (common.render — chunked
+wavefront + dense filter splat) end-to-end over several full-frame
+passes. Per lane-sample the wavefront executes 1 primary closest-hit
+plus (max_depth-1) x (1 shadow any-hit + 1 continuation closest-hit)
+= 1 + 2*(depth-1) hardware lane-rays; masked-off lanes still occupy
+vector lanes, so that is the work the hardware performs. The honest
+*useful*-ray count (lanes whose result contributes to the image) is
+reported alongside as "useful_mrays" with per-bounce active fractions.
 max_ray_depth=5 matches the reference path-tracer default (bunny.json's
-depth 20 belongs to its SPPM config)."""
+depth 20 belongs to its SPPM config).
+"""
 
 import json
 import os
@@ -31,41 +31,60 @@ sys.path.insert(0, _REPO)
 
 def main():
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from goblin_tpu.assets import ensure_bunny_obj
-    from goblin_tpu.integrators.wavefront import render_wavefront
+    from goblin_tpu.integrators import common
+    from goblin_tpu.integrators.path import make_li
     from goblin_tpu.scene.loader import load_scene
 
     depth = 5
     spp = 4
-    pool = int(os.environ.get("GOBLIN_BENCH_POOL", 1 << 16))
+    chunk = int(os.environ.get('GOBLIN_BENCH_CHUNK', 1 << 16))
     ensure_bunny_obj(os.path.join(_REPO, "examples", "models", "bunny.obj"))
     scene, meta = load_scene(
         os.path.join(_REPO, "examples", "bunny.json"),
-        {"render_method": "path_tracing", "max_ray_depth": depth,
-         "sample_per_pixel": spp},
+        {"render_method": "path_tracing", "max_ray_depth": depth},
     )
+    li = make_li(meta)
     spec = meta.camera.film
     n_pix = spec.x_res * spec.y_res
 
+    from goblin_tpu.camera import film as film_mod
+
+    render_pass, _ = common.make_render_pass(
+        scene, meta, li, spp=spp, seed=0, chunk_size=chunk
+    )
+    color, weight = film_mod.new_film(spec)
     # warmup / compile
-    img, stats = render_wavefront(scene, meta, spp=spp, seed=0, pool=pool,
-                                  with_stats=True)
-    jax.block_until_ready(img)
+    color, weight = render_pass(color, weight, jnp.int32(0))
+    jax.block_until_ready((color, weight))
 
     t0 = time.perf_counter()
-    img, stats = render_wavefront(scene, meta, spp=spp, seed=0, pool=pool,
-                                  with_stats=True)
-    jax.block_until_ready(img)
+    for s in range(spp):
+        color, weight = render_pass(color, weight, jnp.int32(s))
+    jax.block_until_ready((color, weight))
     dt = time.perf_counter() - t0
 
-    rays_per_sample = 1 + 2 * (depth - 1)
-    total_rays = spp * n_pix * rays_per_sample
+    # useful-ray census (untimed): per-bounce active/continuation lanes
+    li_stats = make_li(meta, with_stats=True)
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+
+    @jax.jit
+    def stats_step(pix, s_idx):
+        x, y = common.pixel_samples(0, pix, spec.x_res, s_idx, 2)
+        ray = meta.camera.generate_ray(x, y)
+        _, (n_active, n_cont) = li_stats(scene, meta, ray, pix, s_idx, 0)
+        return n_active, n_cont
+
+    n_active, n_cont = jax.device_get(stats_step(pixel_ids, jnp.int32(0)))
+    useful_per_sample = n_pix + int(n_active.sum()) + int(n_cont.sum())
+
+    rays_per_lane = 1 + 2 * (depth - 1)
+    total_rays = spp * n_pix * rays_per_lane
     mrays = total_rays / dt / 1e6
-    # useful_segments counts occupied trace slots (shadow considers +
-    # fresh/continuation closest-hits) out of iterations * pool * 2
-    lane_slots = stats["lane_rays"]
-    util = stats["useful_segments"] / max(lane_slots, 1)
+    useful_mrays = spp * useful_per_sample / dt / 1e6
     print(
         json.dumps(
             {
@@ -73,10 +92,10 @@ def main():
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
-                "driver": "wavefront-regen",
-                "pool": stats["pool"],
-                "iterations": stats["iterations"],
-                "lane_utilization": round(util, 4),
+                "useful_mrays": round(useful_mrays, 3),
+                "active_fraction_per_bounce": [
+                    round(float(a) / n_pix, 4) for a in n_active
+                ],
                 "trace_backend": meta.trace_backend,
                 "max_leaf": meta.max_leaf,
                 "spp": spp,

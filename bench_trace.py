@@ -73,45 +73,22 @@ def main():
         dt = timeit(run_jnp, o, d, iters=3)
         print(f"jnp skip-link   {name:10s}: {R/dt/1e6:8.2f} Mrays/s")
 
-    from goblin_tpu.ops.pallas_trace import (
-        pack_scene, pack_scene_smem, trace_packets, trace_packets_smem)
+    from goblin_tpu.ops.pallas_trace import pack_scene, trace_packets
 
     packed = pack_scene(nb, nm, ts)
     pk = {k: jnp.asarray(v) for k, v in packed.items()
           if not k.startswith("n_")}
 
-    def run_pallas(o, d):
-        return trace_packets(pk["nodes"], pk["meta"], pk["tris"],
-                             jnp.asarray(o), jnp.asarray(d),
-                             jnp.asarray(mint), jnp.asarray(maxt),
-                             max_leaf=meta.max_leaf)
+    for rows in (8, 32):
+        def run_pallas(o, d):
+            return trace_packets(pk["nodes"], pk["meta"], pk["tris"],
+                                 jnp.asarray(o), jnp.asarray(d),
+                                 jnp.asarray(mint), jnp.asarray(maxt),
+                                 max_leaf=meta.max_leaf, rows=rows)
 
-    for name, o, d in [("coherent", o_c, d_c), ("incoherent", o_i, d_i)]:
-        try:
+        for name, o, d in [("coherent", o_c, d_c), ("incoherent", o_i, d_i)]:
             dt = timeit(run_pallas, o, d, iters=3)
-            print(f"pallas packet   {name:10s}: {R/dt/1e6:8.2f} Mrays/s")
-        except Exception as e:
-            print(f"pallas packet   {name:10s}: FAILED {type(e).__name__}: {e}")
-            break
-
-    sm = pack_scene_smem(nb, nm, ts)
-    smj = {k: jnp.asarray(v) for k, v in sm.items()
-          if not k.startswith("n_")}
-
-    def run_smem(o, d):
-        return trace_packets_smem(smj["bounds_flat"], smj["meta_flat"],
-                                  smj["tris"],
-                                  jnp.asarray(o), jnp.asarray(d),
-                                  jnp.asarray(mint), jnp.asarray(maxt),
-                                  max_leaf=meta.max_leaf)
-
-    for name, o, d in [("coherent", o_c, d_c), ("incoherent", o_i, d_i)]:
-        try:
-            dt = timeit(run_smem, o, d, iters=3)
-            print(f"pallas smem     {name:10s}: {R/dt/1e6:8.2f} Mrays/s")
-        except Exception as e:
-            print(f"pallas smem     {name:10s}: FAILED {type(e).__name__}: {e}")
-            break
+            print(f"pallas rows={rows:3d} {name:10s}: {R/dt/1e6:8.2f} Mrays/s")
 
 
 if __name__ == "__main__":

@@ -38,30 +38,6 @@ BIG_T = 3.0e38
 MAX_LEAF_PAD = 64  # largest max_leaf the triangle padding supports
 
 
-def pack_scene_smem(bounds: np.ndarray, meta: np.ndarray,
-                    tri_soup: np.ndarray):
-    """Packing for the SMEM-node kernel: flat scalar tables for
-    bounds/meta (SMEM budget is 1MB total — bounds 24B + meta 12B per
-    node -> up to ~27k nodes; callers raise max_leaf to stay under) and
-    lane-packed triangles for VMEM."""
-    N = bounds.shape[0]
-    T = tri_soup.shape[0]
-    # pad groups: leaf loops read first+k for k < max_leaf unconditionally
-    # (misses masked by k<count), so the last leaf can index up to
-    # T + MAX_LEAF_PAD - 2 — pad enough groups for max_leaf <= MAX_LEAF_PAD
-    tg = (T + 7) // 8 + (MAX_LEAF_PAD + 7) // 8
-    tris_packed = np.zeros((tg, 128), np.float32)
-    tflat = tris_packed.reshape(tg * 8, 16)
-    tflat[:T, 0:9] = tri_soup
-    return {
-        "bounds_flat": np.ascontiguousarray(bounds.reshape(-1), np.float32),
-        "meta_flat": np.ascontiguousarray(meta.reshape(-1), np.int32),
-        "tris": tris_packed,
-        "n_nodes": N,
-        "n_tris": T,
-    }
-
-
 def pack_scene(bounds: np.ndarray, meta: np.ndarray, tri_soup: np.ndarray):
     """Host-side packing of BVH + triangle soup into lane-aligned arrays.
 
@@ -78,7 +54,10 @@ def pack_scene(bounds: np.ndarray, meta: np.ndarray, tri_soup: np.ndarray):
     meta_packed = np.zeros((mg, 128), np.int32)
     mflat = meta_packed.reshape(mg * 32, 4)
     mflat[:N, 0:3] = meta
-    tg = (T + 7) // 8 + (MAX_LEAF_PAD + 7) // 8  # pad (see pack_scene_smem)
+    # pad groups: leaf loops read first+k for k < max_leaf unconditionally
+    # (misses masked by k<count), so the last leaf can index up to
+    # T + MAX_LEAF_PAD - 2 — pad enough groups for max_leaf <= MAX_LEAF_PAD
+    tg = (T + 7) // 8 + (MAX_LEAF_PAD + 7) // 8
     tris_packed = np.zeros((tg, 128), np.float32)
     tflat = tris_packed.reshape(tg * 8, 16)
     tflat[:T, 0:9] = tri_soup
@@ -102,7 +81,8 @@ def _extract_i(row, off, k):
     return jnp.sum(jnp.where(lane == off + k, row, 0))
 
 
-def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8):
+def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8,
+                 ways: int = 1):
     def kernel(nodes_ref, meta_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref,
@@ -201,41 +181,42 @@ def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8):
         # Stack holds nodes whose box already passed the packet test
         # (children are tested at the parent; near child pushed last so
         # it pops first -> earlier t_best tightening).
+        #
+        # Latency discipline: every vector->scalar reduction stalls the
+        # scalar pipeline, so each visit does at most TWO (the per-child
+        # min-tn; `any hit` is derived from min < BIG), and the packet's
+        # max best-t is carried as a scalar refreshed only after leaf
+        # visits (t_best only shrinks there) instead of a max-reduce at
+        # every pop.
         tri_best_holder = [None]
 
-        def body(state):
-            sp, t_best, tri_best, b1_best, b2_best = state
-            tri_best_holder[0] = tri_best
-            node = stack_ref[sp - 1]
-            entry_tn = tn_stack_ref[sp - 1]
-            sp = sp - 1
-            # pop-time cull: the packet's best-t may have shrunk since the
-            # node was pushed
-            max_t = jnp.max(t_best)
-            live = entry_tn <= max_t
+        def step_one(node, entry_tn, state):
+            """Visit one popped node (already sp-adjusted)."""
+            live = entry_tn <= state[1]
 
             def visit(args):
-                sp, t_best, tri_best, b1_best, b2_best = args
+                sp, max_t, t_best, tri_best, b1_best, b2_best = args
                 first, count, miss = fetch_meta(node)
                 is_leaf = count > 0
 
                 def do_leaf(args):
-                    sp, t_best, tri_best, b1_best, b2_best = args
+                    sp, max_t, t_best, tri_best, b1_best, b2_best = args
                     t_best, tri_best, b1_best, b2_best = leaf_tris(
                         first, count, t_best, tri_best, b1_best, b2_best
                     )
-                    return sp, t_best, tri_best, b1_best, b2_best
+                    max_t = jnp.max(t_best)
+                    return sp, max_t, t_best, tri_best, b1_best, b2_best
 
                 def do_inner(args):
-                    sp, t_best, tri_best, b1_best, b2_best = args
+                    sp, max_t, t_best, tri_best, b1_best, b2_best = args
                     left = node + 1
                     _, _, right = fetch_meta(left)
                     hitL, tnL = box_test(left, t_best)
                     hitR, tnR = box_test(right, t_best)
-                    anyL = jnp.any(hitL)
-                    anyR = jnp.any(hitR)
                     minL = jnp.min(jnp.where(hitL, tnL, BIG_T))
                     minR = jnp.min(jnp.where(hitR, tnR, BIG_T))
+                    anyL = minL < BIG_T
+                    anyR = minR < BIG_T
                     l_nearer = minL <= minR
                     near = jnp.where(l_nearer, left, right)
                     far = jnp.where(l_nearer, right, left)
@@ -250,28 +231,56 @@ def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8):
                     stack_ref[sp] = near
                     tn_stack_ref[sp] = near_tn
                     sp = sp + near_hit.astype(jnp.int32)
-                    return sp, t_best, tri_best, b1_best, b2_best
+                    return sp, max_t, t_best, tri_best, b1_best, b2_best
 
                 return jax.lax.cond(is_leaf, do_leaf, do_inner, args)
 
-            state = (sp, t_best, tri_best, b1_best, b2_best)
-            state = jax.lax.cond(live, visit, lambda a: a, state)
+            return jax.lax.cond(live, visit, lambda a: a, state)
+
+        def body(state):
+            tri_best_holder[0] = state[3]
+            sp = state[0]
+            node_a = stack_ref[sp - 1]
+            tn_a = tn_stack_ref[sp - 1]
+            if ways == 2:
+                # superscalar pop: visit TWO stack entries per iteration —
+                # their scalar fetch/reduce chains are independent, so the
+                # compiler can overlap them, halving the per-node latency
+                # the traversal is bound by. Node B uses A's (stale)
+                # t_best/max_t — conservative, still correct.
+                has_b = sp >= 2
+                idx_b = jnp.maximum(sp - 2, 0)
+                node_b = stack_ref[idx_b]
+                tn_b = tn_stack_ref[idx_b]
+                sp = sp - 1 - has_b.astype(jnp.int32)
+                state = (sp,) + state[1:]
+                state = step_one(node_a, tn_a, state)
+                state = jax.lax.cond(
+                    has_b,
+                    lambda s: step_one(node_b, tn_b, s),
+                    lambda s: s,
+                    state,
+                )
+            else:
+                state = (sp - 1,) + state[1:]
+                state = step_one(node_a, tn_a, state)
             return state
 
         def cond(state):
             sp = state[0]
             if any_hit:
-                return (sp > 0) & jnp.any(state[2] < 0)
+                return (sp > 0) & jnp.any(state[3] < 0)
             return sp > 0
 
         init = (
             jnp.int32(1),
+            jnp.max(maxt),
             maxt,
             jnp.full((rows, 128), -1, jnp.int32),
             jnp.zeros((rows, 128), jnp.float32),
             jnp.zeros((rows, 128), jnp.float32),
         )
-        _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
+        _, _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
             cond, body, init
         )
         t_ref[0] = t_best
@@ -282,13 +291,15 @@ def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows", "interpret"))
+@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows", "ways",
+                                   "interpret"))
 def trace_packets(
     nodes, meta, tris,  # packed device arrays
     o, d, mint, maxt,  # (R, 3), (R, 3), (R,), (R,) with R % (rows*128) == 0
     max_leaf: int = 4,
     any_hit: bool = False,
     rows: int = 8,
+    ways: int = 1,
     interpret: bool = False,
 ):
     """Packet trace. Returns (hit, t, tri, b1, b2) shaped (R,)."""
@@ -304,7 +315,7 @@ def trace_packets(
         shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
         shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
     ]
-    kernel = _make_kernel(max_leaf, any_hit, rows)
+    kernel = _make_kernel(max_leaf, any_hit, rows, ways)
     ray_spec = pl.BlockSpec((1, rows, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -333,211 +344,14 @@ def trace_packets(
 
 
 # ---------------------------------------------------------------------------
-# v3: SMEM-resident nodes (scalar loads ~8ns vs ~10x more for one-hot
-# vector extraction). Triangles stay lane-packed in VMEM.
+# On SMEM-resident node kernels (investigated, abandoned): holding the
+# node bounds/meta as SMEM scalars would remove the one-hot extract +
+# sum-reduce (a vector->scalar sync) from every node fetch — the
+# traversal's dominant latency chain. Two variants were built and both
+# pass interpret-mode parity with the VMEM kernel, but both FAULT the
+# TPU-v5e worker when run on hardware (scalar-prefetch grid AND plain
+# SMEM-input BlockSpecs alike; tiny scenes included), killing the remote
+# tunnel for hours per attempt. The working design keeps nodes
+# lane-packed in VMEM with one-hot extraction and instead minimizes the
+# number of vector->scalar reductions per visit (see the kernel body).
 # ---------------------------------------------------------------------------
-
-
-def _make_kernel_smem(max_leaf: int, any_hit: bool):
-    def kernel(bounds_ref, meta_ref,  # scalar-prefetch (SMEM)
-               tris_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               mint_ref, maxt_ref,
-               t_ref, tri_ref, b1_ref, b2_ref,
-               stack_ref, tn_stack_ref):
-        ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-        dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-        mint = mint_ref[0]
-        maxt = maxt_ref[0]
-        tiny = 1e-30
-        inv_dx = 1.0 / jnp.where(dx == 0.0, tiny, dx)
-        inv_dy = 1.0 / jnp.where(dy == 0.0, tiny, dy)
-        inv_dz = 1.0 / jnp.where(dz == 0.0, tiny, dz)
-
-        stack_ref[0] = 0
-        tn_stack_ref[0] = -BIG_T
-
-        def box_test(j, t_best, live_mask):
-            b = j * 6
-            t0x = (bounds_ref[b + 0] - ox) * inv_dx
-            t1x = (bounds_ref[b + 3] - ox) * inv_dx
-            t0y = (bounds_ref[b + 1] - oy) * inv_dy
-            t1y = (bounds_ref[b + 4] - oy) * inv_dy
-            t0z = (bounds_ref[b + 2] - oz) * inv_dz
-            t1z = (bounds_ref[b + 5] - oz) * inv_dz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), mint),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.minimum(jnp.maximum(t0z, t1z), t_best),
-            )
-            hit = tn <= tf
-            if any_hit:
-                hit = hit & live_mask
-            return hit, tn
-
-        def leaf_tris(first, count, t_best, tri_best, b1_best, b2_best):
-            for k in range(max_leaf):
-                tri_id = first + k
-                trow = tris_ref[pl.ds(tri_id // 8, 1), :]
-                toff = (tri_id % 8) * 16
-
-                def tv(i):
-                    return _extract(trow, toff, i)
-
-                v0x, v0y, v0z = tv(0), tv(1), tv(2)
-                e1x, e1y, e1z = tv(3), tv(4), tv(5)
-                e2x, e2y, e2z = tv(6), tv(7), tv(8)
-                s1x = dy * e2z - dz * e2y
-                s1y = dz * e2x - dx * e2z
-                s1z = dx * e2y - dy * e2x
-                div = s1x * e1x + s1y * e1y + s1z * e1z
-                inv = 1.0 / jnp.where(div == 0.0, tiny, div)
-                sx = ox - v0x
-                sy = oy - v0y
-                sz = oz - v0z
-                b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
-                s2x = sy * e1z - sz * e1y
-                s2y = sz * e1x - sx * e1z
-                s2z = sx * e1y - sy * e1x
-                b2 = (dx * s2x + dy * s2y + dz * s2z) * inv
-                t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv
-                eps = 1e-7
-                hit = (
-                    (div != 0.0)
-                    & (b1 + eps >= 0.0) & (b1 - eps <= 1.0)
-                    & (b2 + eps >= 0.0) & (b1 + b2 - eps <= 1.0)
-                    & (t >= mint) & (t <= t_best)
-                    & (k < count)
-                )
-                t_best = jnp.where(hit, t, t_best)
-                tri_best = jnp.where(hit, tri_id, tri_best)
-                b1_best = jnp.where(hit, b1, b1_best)
-                b2_best = jnp.where(hit, b2, b2_best)
-            return t_best, tri_best, b1_best, b2_best
-
-        def body(state):
-            sp, t_best, tri_best, b1_best, b2_best = state
-            node = stack_ref[sp - 1]
-            entry_tn = tn_stack_ref[sp - 1]
-            sp = sp - 1
-            max_t = jnp.max(t_best)
-            live = entry_tn <= max_t
-
-            def visit(args):
-                sp, t_best, tri_best, b1_best, b2_best = args
-                m = node * 3
-                first = meta_ref[m + 0]
-                count = meta_ref[m + 1]
-                is_leaf = count > 0
-
-                def do_leaf(args):
-                    sp, t_best, tri_best, b1_best, b2_best = args
-                    t_best, tri_best, b1_best, b2_best = leaf_tris(
-                        first, count, t_best, tri_best, b1_best, b2_best
-                    )
-                    return sp, t_best, tri_best, b1_best, b2_best
-
-                def do_inner(args):
-                    sp, t_best, tri_best, b1_best, b2_best = args
-                    left = node + 1
-                    right = meta_ref[left * 3 + 2]
-                    live_mask = tri_best < 0 if any_hit else None
-                    hitL, tnL = box_test(left, t_best, live_mask)
-                    hitR, tnR = box_test(right, t_best, live_mask)
-                    anyL = jnp.any(hitL)
-                    anyR = jnp.any(hitR)
-                    minL = jnp.min(jnp.where(hitL, tnL, BIG_T))
-                    minR = jnp.min(jnp.where(hitR, tnR, BIG_T))
-                    l_nearer = minL <= minR
-                    near = jnp.where(l_nearer, left, right)
-                    far = jnp.where(l_nearer, right, left)
-                    near_hit = jnp.where(l_nearer, anyL, anyR)
-                    far_hit = jnp.where(l_nearer, anyR, anyL)
-                    stack_ref[sp] = far
-                    tn_stack_ref[sp] = jnp.maximum(minL, minR)
-                    sp = sp + far_hit.astype(jnp.int32)
-                    stack_ref[sp] = near
-                    tn_stack_ref[sp] = jnp.minimum(minL, minR)
-                    sp = sp + near_hit.astype(jnp.int32)
-                    return sp, t_best, tri_best, b1_best, b2_best
-
-                return jax.lax.cond(is_leaf, do_leaf, do_inner, args)
-
-            return jax.lax.cond(live, visit, lambda a: a, state)
-
-        def cond(state):
-            sp = state[0]
-            if any_hit:
-                return (sp > 0) & jnp.any(state[2] < 0)
-            return sp > 0
-
-        init = (
-            jnp.int32(1),
-            maxt,
-            jnp.full((8, 128), -1, jnp.int32),
-            jnp.zeros((8, 128), jnp.float32),
-            jnp.zeros((8, 128), jnp.float32),
-        )
-        _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
-            cond, body, init
-        )
-        t_ref[0] = t_best
-        tri_ref[0] = tri_best
-        b1_ref[0] = b1_best
-        b2_ref[0] = b2_best
-
-    return kernel
-
-
-@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "interpret"))
-def trace_packets_smem(
-    bounds_flat, meta_flat, tris,
-    o, d, mint, maxt,
-    max_leaf: int = 4,
-    any_hit: bool = False,
-    interpret: bool = False,
-):
-    """SMEM-node packet trace. Same contract as trace_packets."""
-    R = o.shape[0]
-    P = R // PACKET
-
-    def shape8(x):
-        return x.reshape(P, 8, 128)
-
-    comps = [
-        shape8(o[:, 0]), shape8(o[:, 1]), shape8(o[:, 2]),
-        shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
-        shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
-    ]
-    kernel = _make_kernel_smem(max_leaf, any_hit)
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda p, *_: (p, 0, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(P,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
-        scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
-        ],
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((P, 8, 128), jnp.int32),
-        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
-    ]
-    t, tri, b1, b2 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(bounds_flat, meta_flat, tris, *comps)
-    t = t.reshape(R)
-    tri = tri.reshape(R)
-    hit = tri >= 0
-    return hit, jnp.where(hit, t, BIG_T), tri, b1.reshape(R), b2.reshape(R)

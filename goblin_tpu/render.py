@@ -47,7 +47,13 @@ def render_context(path: str, overrides=None, chunk_size=1 << 14,
 
     import os
 
-    use_regen = os.environ.get("GOBLIN_REGEN", "1") == "1"
+    # The regenerative driver keeps every lane alive, which is a LOSS
+    # under the packet-union trace kernel (dead packets retire at the
+    # root for ~free while live incoherent packets walk the whole tree):
+    # measured 0.39 vs 6.7 Mrays/s on bunny/TPUv5e. Off by default;
+    # GOBLIN_REGEN=1 selects it (useful on hardware with per-ray
+    # traversal cost).
+    use_regen = os.environ.get("GOBLIN_REGEN", "0") == "1"
     if method in ("path_tracing", "path") and use_regen:
         from .integrators import wavefront
 

@@ -93,6 +93,7 @@ class SceneMeta:
     # "jnp" = lockstep skip-link traversal (accel/traverse)
     trace_backend: str = "jnp"
     trace_rows: int = 32  # packet = trace_rows * 128 rays (pallas only)
+    trace_ways: int = 1  # stack entries visited per kernel iteration
     trace_sort: bool = True  # morton-sort wavefronts before packet trace
     world_bounds: tuple = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
 
@@ -181,6 +182,7 @@ class SceneBuilder:
             max_leaf = 32 if trace_backend == "pallas" else 4
             max_leaf = int(os.environ.get("GOBLIN_MAX_LEAF", max_leaf))
         trace_rows = int(os.environ.get("GOBLIN_ROWS", trace_rows))
+        trace_ways = int(os.environ.get("GOBLIN_WAYS", 1))
         tri_v = [np.zeros((0, 3, 3), np.float32)]
         tri_n = [np.zeros((0, 3, 3), np.float32)]
         tri_uv = [np.zeros((0, 3, 2), np.float32)]
@@ -516,6 +518,7 @@ class SceneBuilder:
             output_path=self.output_path,
             trace_backend=trace_backend,
             trace_rows=trace_rows,
+            trace_ways=trace_ways,
             # measured on bunny: morton/octant ray sorting costs more
             # (argsort + 12 gathers) than the packet-coherence it buys at
             # 512x384; off by default, GOBLIN_SORT=1 for huge wavefronts

@@ -95,6 +95,7 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
         scene["pk_nodes"], scene["pk_meta"], scene["pk_tris"],
         o, d, mint, maxt,
         max_leaf=meta.max_leaf, any_hit=any_hit, rows=meta.trace_rows,
+        ways=getattr(meta, "trace_ways", 1),
     )
     if pad:
         hit, t, tri, b1, b2 = (v[:R] for v in (hit, t, tri, b1, b2))

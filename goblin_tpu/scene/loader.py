@@ -294,6 +294,7 @@ def load_scene(path: str, overrides: dict | None = None):
                     filter=filt,
                     address=addr,
                     gamma=p.get_float("gamma", 1.0),
+                    max_anisotropy=p.get_float("max_anisotropy", 10.0),
                     map_scale=(float(ms[0]), float(ms[1])),
                     map_offset=(float(mo[0]), float(mo[1])),
                 )

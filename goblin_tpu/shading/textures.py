@@ -106,6 +106,8 @@ class TexSpec:
     gamma: float = 1.0
     # checkerboard filtering flag (reference box-filtered antialiasing)
     checker_filter: bool = False
+    # EWA anisotropy clamp (reference maxAnisotropy, default 10)
+    max_anisotropy: float = 10.0
     # mapping kind; spherical uses world_to_tex on the hit position
     mapping: int = MAP_UV
     world_to_tex: np.ndarray | None = None  # (4,4), spherical mapping only
@@ -278,10 +280,16 @@ class TextureSystem:
         wv = jnp.abs(duv[..., 1]) * sv * h
 
         if s.filter == FILTER_EWA and duv4 is not None:
-            # EWA approximated TPU-style: minor axis picks the mip level,
-            # EWA_TAPS gaussian-weighted bilinear taps march the major
-            # axis (anisotropic filtering; reference's LUT ellipse scan
-            # is a data-dependent loop, hostile to fixed-shape kernels)
+            # True-ellipse EWA with static shapes: the anisotropy-clamped
+            # minor axis picks the mip level (reference lookup,
+            # GoblinTexture.cpp:158-193), then a fixed NU x NV quadrature
+            # lattice over the ellipse in its own (major, minor) frame
+            # accumulates bilinear taps weighted by the reference's
+            # gaussian profile exp(-2 r^2) - exp(-2) (initEWALut,
+            # :262-271). This integrates the full ellipse AREA — the
+            # static-shape equivalent of the reference's per-texel
+            # inclusion scan (:195-259), whose data-dependent bbox loop
+            # cannot be expressed with fixed shapes.
             axu = duv4[..., 0] * su
             axv = duv4[..., 1] * sv
             ayu = duv4[..., 2] * su
@@ -289,26 +297,44 @@ class TextureSystem:
             lx = jnp.sqrt((axu * w) ** 2 + (axv * h) ** 2)
             ly = jnp.sqrt((ayu * w) ** 2 + (ayv * h) ** 2)
             x_major = lx >= ly
+            major = jnp.maximum(lx, ly)
             minor = jnp.minimum(lx, ly)
             maj_u = jnp.where(x_major, axu, ayu)
             maj_v = jnp.where(x_major, axv, ayv)
+            min_u = jnp.where(x_major, ayu, axu)
+            min_v = jnp.where(x_major, ayv, axv)
+            # anisotropy clamp: widen the minor axis so major/minor <=
+            # maxAnisotropy (reference :166-171)
+            max_a = float(getattr(s, "max_anisotropy", 10.0)) or 10.0
+            widen = jnp.maximum(1.0, major / jnp.maximum(
+                minor * max_a, 1e-12))
+            minor = minor * widen
+            min_u = min_u * widen
+            min_v = min_v * widen
             lvl = jnp.log2(jnp.clip(minor, 1.0, None))
             lvl = jnp.clip(lvl, 0.0, n_levels - 1)
             l0 = lvl.astype(jnp.int32)
             l1 = jnp.minimum(l0 + 1, n_levels - 1)
             f = (lvl - l0)[..., None]
+            NU, NV = EWA_TAPS, 3
             out = 0.0
             wsum = 0.0
-            for k in range(EWA_TAPS):
-                sfrac = (k + 0.5) / EWA_TAPS - 0.5
-                gw = float(np.exp(-2.0 * (2.0 * sfrac) ** 2))
-                uq = u + sfrac * maj_u
-                vq = v + sfrac * maj_v
-                tap = (1.0 - f) * self._mip_bilinear(
-                    s, spec_id, atlas, l0, uq, vq
-                ) + f * self._mip_bilinear(s, spec_id, atlas, l1, uq, vq)
-                out = out + gw * tap
-                wsum += gw
+            for i in range(NU):
+                a = (i + 0.5) / NU - 0.5
+                for j in range(NV):
+                    b = (j + 0.5) / NV - 0.5
+                    r2 = (2.0 * a) ** 2 + (2.0 * b) ** 2
+                    gw = float(np.exp(-2.0 * r2) - np.exp(-2.0))
+                    if gw <= 0.0:
+                        continue  # outside the unit ellipse
+                    uq = u + a * maj_u + b * min_u
+                    vq = v + a * maj_v + b * min_v
+                    tap = (1.0 - f) * self._mip_bilinear(
+                        s, spec_id, atlas, l0, uq, vq
+                    ) + f * self._mip_bilinear(s, spec_id, atlas, l1,
+                                               uq, vq)
+                    out = out + gw * tap
+                    wsum += gw
             return out / wsum
 
         # trilinear: level from the max footprint extent, lerp two levels
