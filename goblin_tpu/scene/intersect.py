@@ -188,9 +188,23 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
     else:
         dsk_hit = jnp.zeros_like(hit)
 
-    # --- refine triangles
+    # --- refine triangles: ONE fused row gather for all per-triangle
+    # shading data (positions + normals + uvs, 24 contiguous floats) —
+    # separate gathers each pay XLA's row-gather cost; the concatenate is
+    # constant-folded when the scene is a closed-over constant and stays
+    # differentiable when tri_soup is a differentiation input
     tri_c = jnp.maximum(tri, 0)
-    soup = jnp.take(scene["tri_soup"], tri_c, axis=0)
+    T_n = scene["tri_soup"].shape[0]
+    shade_rows = jnp.concatenate(
+        [
+            scene["tri_soup"],
+            scene["tri_n"].reshape(T_n, 9),
+            scene["tri_uv"].reshape(T_n, 6),
+        ],
+        axis=-1,
+    )
+    packed = jnp.take(shade_rows, tri_c, axis=0)
+    soup = packed[..., 0:9]
     v0, e1, e2 = soup[..., 0:3], soup[..., 3:6], soup[..., 6:9]
 
     # Differentiable hit recompute (SURVEY.md §7): the traversal's discrete
@@ -217,7 +231,7 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
     # miss-lane values are masked by `hit` everywhere they matter)
     p = o + jnp.where(hit, t, 1.0)[..., None] * d
     b0 = 1.0 - b1 - b2
-    n_rows = jnp.take(scene["tri_n"], tri_c, axis=0)  # (R, 3, 3)
+    n_rows = packed[..., 9:18].reshape(packed.shape[:-1] + (3, 3))
     ns_tri = vm.normalize(
         b0[..., None] * n_rows[..., 0, :]
         + b1[..., None] * n_rows[..., 1, :]
@@ -225,7 +239,7 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
         eps=1e-30,
     )
     ng_tri = vm.normalize(jnp.cross(e1, e2), eps=1e-30)
-    uv_rows = jnp.take(scene["tri_uv"], tri_c, axis=0)  # (R, 3, 2)
+    uv_rows = packed[..., 18:24].reshape(packed.shape[:-1] + (3, 2))
     uv_tri = (
         b0[..., None] * uv_rows[..., 0, :]
         + b1[..., None] * uv_rows[..., 1, :]
