@@ -185,3 +185,32 @@ def _build_bvh_python(
     ).astype(np.float32)
     meta = np.asarray(meta_out, dtype=np.int32)
     return BVHArrays(bounds=bounds, meta=meta, order=order)
+
+
+def align_leaves(bvh: BVHArrays, align: int = 8) -> BVHArrays:
+    """Post-pass: pad the triangle ordering so every leaf's first
+    triangle sits on a multiple of `align` (sentinel slots are -1 and
+    bake turns them into degenerate never-hit triangles). The Pallas
+    packet kernel then extracts a whole align-triangle group with ONE
+    cross-lane reduction instead of one per triangle — the traversal is
+    latency-bound on exactly those reductions."""
+    meta = bvh.meta.copy()
+    order = bvh.order
+    leaf_ids = np.nonzero(meta[:, 1] > 0)[0]
+    # leaves are emitted with increasing first in DFS order
+    leaf_ids = leaf_ids[np.argsort(meta[leaf_ids, 0], kind="stable")]
+    chunks = []
+    pos = 0
+    for n in leaf_ids:
+        first, count = int(meta[n, 0]), int(meta[n, 1])
+        meta[n, 0] = pos
+        chunks.append(order[first:first + count])
+        pad = (-count) % align
+        if pad:
+            chunks.append(np.full(pad, -1, np.int32))
+        pos += count + pad
+    new_order = (
+        np.concatenate(chunks).astype(np.int32)
+        if chunks else np.zeros(0, np.int32)
+    )
+    return BVHArrays(bounds=bvh.bounds, meta=meta, order=new_order)

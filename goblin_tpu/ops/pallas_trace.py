@@ -54,6 +54,15 @@ def pack_scene(bounds: np.ndarray, meta: np.ndarray, tri_soup: np.ndarray):
     meta_packed = np.zeros((mg, 128), np.int32)
     mflat = meta_packed.reshape(mg * 32, 4)
     mflat[:N, 0:3] = meta
+    # inner nodes don't use the first-triangle field: bake the RIGHT
+    # child index (= miss link of the left child j+1) into it so the
+    # kernel resolves both children from ONE meta fetch (each one-hot
+    # extract ends in a vector->scalar reduction — the latency the
+    # traversal is bound by)
+    inner = meta[:, 1] == 0
+    left = np.arange(N) + 1
+    right = np.where(left < N, meta[np.minimum(left, N - 1), 2], 0)
+    mflat[:N, 0] = np.where(inner, right, meta[:, 0])
     # pad groups: leaf loops read first+k for k < max_leaf unconditionally
     # (misses masked by k<count), so the last leaf can index up to
     # T + MAX_LEAF_PAD - 2 — pad enough groups for max_leaf <= MAX_LEAF_PAD
@@ -81,8 +90,31 @@ def _extract_i(row, off, k):
     return jnp.sum(jnp.where(lane == off + k, row, 0))
 
 
+def _extract_block(row, off, n_sub: int):
+    """Lanes off..off+n_sub-1 of a (1, 128) row as an (n_sub, 1) vector
+    in ONE cross-lane reduction (each _extract sum is a vector->scalar
+    sync; batching the components into the sublane axis replaces N
+    reductions with one, and the per-component reads afterwards are
+    static sublane extracts)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_sub, 128), 1)
+    comp = jax.lax.broadcasted_iota(jnp.int32, (n_sub, 128), 0)
+    mask = lane == off + comp
+    return jnp.sum(jnp.where(mask, row, jnp.zeros_like(row)), axis=1,
+                   keepdims=True)
+
+
+# (measured dead end: broadcasting the components across lanes with two
+# MXU products instead of extracting scalars — outer-product splat then
+# one-hot selector matmul — halved throughput AND corrupted values: TPU
+# f32 dots round operands through bf16 unless Precision.HIGHEST, which
+# triples the MXU passes. The batched one-reduction extract above is the
+# fastest correct formulation found.)
+
+
 def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8,
-                 ways: int = 1):
+                 ways: int = 1, aligned: bool = False):
+    assert not aligned or max_leaf % 8 == 0, \
+        "aligned leaf extraction needs max_leaf % 8 == 0"
     def kernel(nodes_ref, meta_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref,
@@ -103,62 +135,92 @@ def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8,
         def fetch_meta(j):
             mrow = meta_ref[pl.ds(j // 32, 1), :]
             moff = (j % 32) * 4
-            first = _extract_i(mrow, moff, 0)
-            count = _extract_i(mrow, moff, 1)
-            miss = _extract_i(mrow, moff, 2)
-            return first, count, miss
+            m = _extract_block(mrow, moff, 4)
+            return m[0, 0], m[1, 0], m[2, 0]
+
+        def tri_test(tv, tri_id, k, count, t_best, tri_best, b1_best,
+                     b2_best):
+            v0x, v0y, v0z = tv(0), tv(1), tv(2)
+            e1x, e1y, e1z = tv(3), tv(4), tv(5)
+            e2x, e2y, e2z = tv(6), tv(7), tv(8)
+            # Moller-Trumbore, scalar triangle x vector rays
+            s1x = dy * e2z - dz * e2y
+            s1y = dz * e2x - dx * e2z
+            s1z = dx * e2y - dy * e2x
+            div = s1x * e1x + s1y * e1y + s1z * e1z
+            inv = 1.0 / jnp.where(div == 0.0, tiny, div)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
+            s2x = sy * e1z - sz * e1y
+            s2y = sz * e1x - sx * e1z
+            s2z = sx * e1y - sy * e1x
+            b2 = (dx * s2x + dy * s2y + dz * s2z) * inv
+            t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv
+            eps = 1e-7
+            hit = (
+                (div != 0.0)
+                & (b1 + eps >= 0.0) & (b1 - eps <= 1.0)
+                & (b2 + eps >= 0.0) & (b1 + b2 - eps <= 1.0)
+                & (t >= mint) & (t <= t_best)
+                & (k < count)
+            )
+            t_best = jnp.where(hit, t, t_best)
+            tri_best = jnp.where(hit, tri_id, tri_best)
+            b1_best = jnp.where(hit, b1, b1_best)
+            b2_best = jnp.where(hit, b2, b2_best)
+            return t_best, tri_best, b1_best, b2_best
+
+        def leaf_tris_aligned(first, count, t_best, tri_best, b1_best,
+                              b2_best):
+            """first is 8-aligned (accel.bvh.align_leaves): extract each
+            8-triangle group's full 128-lane row with ONE reduction and
+            read components at static sublane offsets."""
+            g0 = first // 8
+            for gk in range(max_leaf // 8):
+                grow = tris_ref[pl.ds(g0 + gk, 1), :]
+                blk = _extract_block(grow, 0, 128)  # (128, 1)
+                for k8 in range(8):
+                    k = gk * 8 + k8
+                    toff = k8 * 16
+
+                    def tv(i, _toff=toff):
+                        return blk[_toff + i, 0]
+
+                    t_best, tri_best, b1_best, b2_best = tri_test(
+                        tv, first + k, k, count, t_best, tri_best,
+                        b1_best, b2_best,
+                    )
+            return t_best, tri_best, b1_best, b2_best
 
         def leaf_tris(first, count, t_best, tri_best, b1_best, b2_best):
+            if aligned:
+                return leaf_tris_aligned(first, count, t_best, tri_best,
+                                         b1_best, b2_best)
             for k in range(max_leaf):
                 tri_id = first + k
                 trow = tris_ref[pl.ds(tri_id // 8, 1), :]
                 toff = (tri_id % 8) * 16
 
-                def tv(i):
-                    return _extract(trow, toff, i)
+                tvv = _extract_block(trow, toff, 16)
 
-                v0x, v0y, v0z = tv(0), tv(1), tv(2)
-                e1x, e1y, e1z = tv(3), tv(4), tv(5)
-                e2x, e2y, e2z = tv(6), tv(7), tv(8)
-                # Moller-Trumbore, scalar triangle x vector rays
-                s1x = dy * e2z - dz * e2y
-                s1y = dz * e2x - dx * e2z
-                s1z = dx * e2y - dy * e2x
-                div = s1x * e1x + s1y * e1y + s1z * e1z
-                inv = 1.0 / jnp.where(div == 0.0, tiny, div)
-                sx = ox - v0x
-                sy = oy - v0y
-                sz = oz - v0z
-                b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
-                s2x = sy * e1z - sz * e1y
-                s2y = sz * e1x - sx * e1z
-                s2z = sx * e1y - sy * e1x
-                b2 = (dx * s2x + dy * s2y + dz * s2z) * inv
-                t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv
-                eps = 1e-7
-                hit = (
-                    (div != 0.0)
-                    & (b1 + eps >= 0.0) & (b1 - eps <= 1.0)
-                    & (b2 + eps >= 0.0) & (b1 + b2 - eps <= 1.0)
-                    & (t >= mint) & (t <= t_best)
-                    & (k < count)
+                def tv(i):
+                    return tvv[i, 0]
+
+                t_best, tri_best, b1_best, b2_best = tri_test(
+                    tv, tri_id, k, count, t_best, tri_best, b1_best,
+                    b2_best,
                 )
-                t_best = jnp.where(hit, t, t_best)
-                tri_best = jnp.where(hit, tri_id, tri_best)
-                b1_best = jnp.where(hit, b1, b1_best)
-                b2_best = jnp.where(hit, b2, b2_best)
             return t_best, tri_best, b1_best, b2_best
 
         def box_test(j, t_best):
             """AABB of node j vs the packet. Returns (hit_any, tn masked)."""
             nrow = nodes_ref[pl.ds(j // 16, 1), :]
             noff = (j % 16) * 8
-            bminx = _extract(nrow, noff, 0)
-            bminy = _extract(nrow, noff, 1)
-            bminz = _extract(nrow, noff, 2)
-            bmaxx = _extract(nrow, noff, 3)
-            bmaxy = _extract(nrow, noff, 4)
-            bmaxz = _extract(nrow, noff, 5)
+            bb = _extract_block(nrow, noff, 8)
+            bminx, bminy, bminz = bb[0, 0], bb[1, 0], bb[2, 0]
+            bmaxx, bmaxy, bmaxz = bb[3, 0], bb[4, 0], bb[5, 0]
             t0x = (bminx - ox) * inv_dx
             t1x = (bmaxx - ox) * inv_dx
             t0y = (bminy - oy) * inv_dy
@@ -210,7 +272,7 @@ def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8,
                 def do_inner(args):
                     sp, max_t, t_best, tri_best, b1_best, b2_best = args
                     left = node + 1
-                    _, _, right = fetch_meta(left)
+                    right = first  # baked into the inner node's meta
                     hitL, tnL = box_test(left, t_best)
                     hitR, tnR = box_test(right, t_best)
                     minL = jnp.min(jnp.where(hitL, tnL, BIG_T))
@@ -292,7 +354,7 @@ def _make_kernel(max_leaf: int, any_hit: bool, rows: int = 8,
 
 
 @partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows", "ways",
-                                   "interpret"))
+                                   "aligned", "interpret"))
 def trace_packets(
     nodes, meta, tris,  # packed device arrays
     o, d, mint, maxt,  # (R, 3), (R, 3), (R,), (R,) with R % (rows*128) == 0
@@ -300,6 +362,7 @@ def trace_packets(
     any_hit: bool = False,
     rows: int = 8,
     ways: int = 1,
+    aligned: bool = False,
     interpret: bool = False,
 ):
     """Packet trace. Returns (hit, t, tri, b1, b2) shaped (R,)."""
@@ -315,7 +378,7 @@ def trace_packets(
         shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
         shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
     ]
-    kernel = _make_kernel(max_leaf, any_hit, rows, ways)
+    kernel = _make_kernel(max_leaf, any_hit, rows, ways, aligned)
     ray_spec = pl.BlockSpec((1, rows, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)

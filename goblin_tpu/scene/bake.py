@@ -94,6 +94,8 @@ class SceneMeta:
     trace_backend: str = "jnp"
     trace_rows: int = 32  # packet = trace_rows * 128 rays (pallas only)
     trace_ways: int = 1  # stack entries visited per kernel iteration
+    trace_compact: bool = False  # stable alive-partition before trace
+    trace_aligned: bool = False  # leaf starts 8-aligned (pallas)
     trace_sort: bool = True  # morton-sort wavefronts before packet trace
     world_bounds: tuple = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
 
@@ -177,12 +179,13 @@ class SceneBuilder:
         if max_leaf is None:
             # larger leaves amortize the packet kernel's scalar traversal;
             # the jnp path unrolls max_leaf gathers per step so stays small
-            # 32 measured best-per-compile-second on bunny (6.7 vs 6.2
-            # Mrays/s at 16; 64 gains +2% for 2x compile)
-            max_leaf = 32 if trace_backend == "pallas" else 4
+            # 64 measured best on bunny with the aligned group-extract
+            # kernel (9.39 vs 9.25 at 32, 8.97 at 128 Mrays/s)
+            max_leaf = 64 if trace_backend == "pallas" else 4
             max_leaf = int(os.environ.get("GOBLIN_MAX_LEAF", max_leaf))
         trace_rows = int(os.environ.get("GOBLIN_ROWS", trace_rows))
         trace_ways = int(os.environ.get("GOBLIN_WAYS", 1))
+        trace_compact = os.environ.get("GOBLIN_COMPACT", "0") == "1"
         tri_v = [np.zeros((0, 3, 3), np.float32)]
         tri_n = [np.zeros((0, 3, 3), np.float32)]
         tri_uv = [np.zeros((0, 3, 2), np.float32)]
@@ -287,8 +290,25 @@ class SceneBuilder:
             T = 1
 
         bvh = build_bvh(V[:, 0], V[:, 1], V[:, 2], max_leaf=max_leaf)
+        if trace_backend == "pallas":
+            # 8-align leaf starts so the packet kernel extracts whole
+            # triangle groups with one reduction (see accel.bvh)
+            from ..accel.bvh import align_leaves
+
+            bvh = align_leaves(bvh, align=8)
         order = bvh.order
-        V, N, UV, MAT, LIGHT = V[order], N[order], UV[order], MAT[order], LIGHT[order]
+        sentinel = order < 0  # leaf padding -> degenerate zero triangle
+        safe = np.where(sentinel, 0, order)
+        V, N, UV = V[safe], N[safe], UV[safe]
+        MAT, LIGHT = MAT[safe], LIGHT[safe]
+        if sentinel.any():
+            V = V.copy()
+            V[sentinel] = 0.0  # v0=v1=v2 -> zero-area, never hit
+            LIGHT = LIGHT.copy()
+            LIGHT[sentinel] = -1
+            MAT = MAT.copy()
+            MAT[sentinel] = 0
+        T = V.shape[0]
 
         # world bounds for directional/IBL emission + auto radii —
         # includes analytic spheres and disks (reference scene bbox spans
@@ -519,6 +539,8 @@ class SceneBuilder:
             trace_backend=trace_backend,
             trace_rows=trace_rows,
             trace_ways=trace_ways,
+            trace_compact=trace_compact,
+            trace_aligned=trace_backend == "pallas",
             # measured on bunny: morton/octant ray sorting costs more
             # (argsort + 12 gathers) than the packet-coherence it buys at
             # 512x384; off by default, GOBLIN_SORT=1 for huge wavefronts

@@ -85,6 +85,22 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
         key = _morton_key(o, d, mint, maxt, bmin, inv_ext)
         order = jnp.argsort(key)
         o, d, mint, maxt = (v[order] for v in (o, d, mint, maxt))
+    elif getattr(meta, "trace_compact", False) and R > packet:
+        # stable alive-partition (VERDICT r3 1b): densify live lanes to
+        # the front IN ORIGINAL ORDER (a cumsum-built permutation, no
+        # argsort) so the masked-dead lanes — scattered across packets
+        # by the bounce loop — collapse into whole all-dead packets that
+        # retire at the root box test. Live lanes keep their screen-tile
+        # coherence because the partition is stable.
+        alive = maxt > mint
+        na = jnp.cumsum(alive.astype(jnp.int32))
+        n_alive = na[-1]
+        nd = jnp.cumsum((~alive).astype(jnp.int32))
+        pos = jnp.where(alive, na - 1, n_alive + nd - 1)
+        order = jnp.zeros((R,), jnp.int32).at[pos].set(
+            jnp.arange(R, dtype=jnp.int32)
+        )
+        o, d, mint, maxt = (v[order] for v in (o, d, mint, maxt))
     pad = (-R) % packet
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -96,6 +112,7 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
         o, d, mint, maxt,
         max_leaf=meta.max_leaf, any_hit=any_hit, rows=meta.trace_rows,
         ways=getattr(meta, "trace_ways", 1),
+        aligned=getattr(meta, "trace_aligned", False),
     )
     if pad:
         hit, t, tri, b1, b2 = (v[:R] for v in (hit, t, tri, b1, b2))

@@ -68,3 +68,55 @@ def test_packet_trace_any_hit():
         jnp.asarray(mint), jnp.asarray(maxt),
     )
     np.testing.assert_array_equal(np.asarray(hit), np.asarray(bf))
+
+
+def test_packet_trace_ways2_matches_ways1():
+    """Superscalar pop (ways=2) is estimator-exact vs ways=1."""
+    p0, p1, p2, bvh, packed, o, d = _scene_and_rays(seed=9)
+    mint = np.full(1024, 1e-4, np.float32)
+    maxt = np.full(1024, 1e30, np.float32)
+    args = (jnp.asarray(packed["nodes"]), jnp.asarray(packed["meta"]),
+            jnp.asarray(packed["tris"]),
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(mint),
+            jnp.asarray(maxt))
+    a = trace_packets(*args, ways=1, interpret=True)
+    b = trace_packets(*args, ways=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6)
+
+
+def test_packet_trace_aligned_leaves():
+    """8-aligned leaves + group extraction match the unaligned kernel."""
+    from goblin_tpu.accel.bvh import align_leaves
+
+    p0, p1, p2, bvh, packed, o, d = _scene_and_rays(seed=11)
+    bvh_a = align_leaves(bvh, align=8)
+    order = bvh_a.order
+    sent = order < 0
+    safe = np.where(sent, 0, order)
+    soup = np.concatenate(
+        [p0[safe], p1[safe] - p0[safe], p2[safe] - p0[safe]], axis=-1
+    ).astype(np.float32)
+    soup[sent] = 0.0
+    packed_a = pack_scene(bvh_a.bounds, bvh_a.meta, soup)
+    mint = np.full(1024, 1e-4, np.float32)
+    maxt = np.full(1024, 1e30, np.float32)
+    # max_leaf must be a multiple of 8 for the aligned kernel
+    a = trace_packets(
+        jnp.asarray(packed_a["nodes"]), jnp.asarray(packed_a["meta"]),
+        jnp.asarray(packed_a["tris"]),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(mint),
+        jnp.asarray(maxt), max_leaf=8, aligned=True, interpret=True,
+    )
+    b = trace_packets(
+        jnp.asarray(packed["nodes"]), jnp.asarray(packed["meta"]),
+        jnp.asarray(packed["tris"]),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(mint),
+        jnp.asarray(maxt), max_leaf=4, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    ha = np.asarray(a[0])
+    # same hit distances (tri ids are in different orderings)
+    np.testing.assert_allclose(np.asarray(a[1])[ha], np.asarray(b[1])[ha],
+                               rtol=1e-5)
