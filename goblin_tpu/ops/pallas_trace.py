@@ -418,3 +418,325 @@ def trace_packets(
 # lane-packed in VMEM with one-hot extraction and instead minimizes the
 # number of vector->scalar reductions per visit (see the kernel body).
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# 4-wide BVH ("BVH4"): collapse the binary tree so each visit tests FOUR
+# child boxes. The traversal is latency-bound on per-visit scalar syncs
+# (meta fetch, min-reduction, branches, stack ops); a 4-wide node halves
+# the visit count for the same box-test vector work, and the four
+# children's min-tn values come out of ONE batched reduction.
+# ---------------------------------------------------------------------------
+
+
+def collapse4(bounds: np.ndarray, meta: np.ndarray):
+    """Binary BVHArrays (pre-order, skip links, leaf firsts 8-aligned)
+    -> 4-wide node arrays.
+
+    Returns (nb4 (N4,128) f32, nm4 (N4,128) i32): one row per node;
+    child c occupies bounds lanes c*8..c*8+5 and meta lanes c*4..c*4+1
+    with [f0, count]: count>0 leaf (f0=first_tri), count==0 inner
+    (f0=child node id), count==-1 empty slot."""
+    N = bounds.shape[0]
+
+    def area(j):
+        d = np.maximum(bounds[j, 3:6] - bounds[j, 0:3], 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    def kids(j):
+        left = j + 1
+        right = int(meta[left, 2])
+        return left, right
+
+    is_leaf = meta[:, 1] > 0
+
+    nb4_rows: list[np.ndarray] = []
+    nm4_rows: list[np.ndarray] = []
+
+    def emit(j) -> int:
+        """Emit the 4-wide node for binary INNER node j; return its id."""
+        my = len(nb4_rows)
+        nb4_rows.append(np.zeros(128, np.float32))
+        nm4_rows.append(np.full(128, 0, np.int32))
+        # gather up to 4 subtree roots under j
+        group = list(kids(j))
+        while len(group) < 4:
+            inners = [g for g in group if not is_leaf[g]]
+            if not inners:
+                break
+            big = max(inners, key=area)
+            gi = group.index(big)
+            group[gi:gi + 1] = list(kids(big))
+        row_b = nb4_rows[my]
+        row_m = nm4_rows[my]
+        for c in range(4):
+            if c < len(group):
+                g = group[c]
+                row_b[c * 8:c * 8 + 6] = bounds[g]
+                if is_leaf[g]:
+                    row_m[c * 4 + 0] = meta[g, 0]
+                    row_m[c * 4 + 1] = meta[g, 1]
+                else:
+                    row_m[c * 4 + 1] = 0
+                    row_m[c * 4 + 0] = emit(g)
+            else:
+                row_m[c * 4 + 1] = -1  # empty
+        return my
+
+    import sys
+
+    sys.setrecursionlimit(max(10000, 64 + 2 * N))
+    if is_leaf[0]:
+        # degenerate single-leaf scene: pseudo-root with one leaf child
+        row_b = np.zeros(128, np.float32)
+        row_m = np.full(128, 0, np.int32)
+        row_b[0:6] = bounds[0]
+        row_m[0] = meta[0, 0]
+        row_m[1] = meta[0, 1]
+        row_m[5] = row_m[9] = row_m[13] = -1
+        nb4_rows.append(row_b)
+        nm4_rows.append(row_m)
+    else:
+        emit(0)
+    return np.stack(nb4_rows), np.stack(nm4_rows)
+
+
+def _make_kernel4(max_leaf: int, any_hit: bool, rows: int):
+    assert max_leaf % 8 == 0 and max_leaf <= 127
+
+    def kernel(nb_ref, nm_ref, tris_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               mint_ref, maxt_ref,
+               t_ref, tri_ref, b1_ref, b2_ref,
+               stack_ref, tn_stack_ref):
+        ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+        dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+        mint = mint_ref[0]
+        maxt = maxt_ref[0]
+        tiny = 1e-30
+        inv_dx = 1.0 / jnp.where(dx == 0.0, tiny, dx)
+        inv_dy = 1.0 / jnp.where(dy == 0.0, tiny, dy)
+        inv_dz = 1.0 / jnp.where(dz == 0.0, tiny, dz)
+
+        stack_ref[0] = 0  # root node id (inner encoding: >= 0)
+        tn_stack_ref[0] = -BIG_T
+
+        def tri_test(tv, tri_id, k, count, t_best, tri_best, b1_best,
+                     b2_best):
+            v0x, v0y, v0z = tv(0), tv(1), tv(2)
+            e1x, e1y, e1z = tv(3), tv(4), tv(5)
+            e2x, e2y, e2z = tv(6), tv(7), tv(8)
+            s1x = dy * e2z - dz * e2y
+            s1y = dz * e2x - dx * e2z
+            s1z = dx * e2y - dy * e2x
+            div = s1x * e1x + s1y * e1y + s1z * e1z
+            inv = 1.0 / jnp.where(div == 0.0, tiny, div)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
+            s2x = sy * e1z - sz * e1y
+            s2y = sz * e1x - sx * e1z
+            s2z = sx * e1y - sy * e1x
+            b2 = (dx * s2x + dy * s2y + dz * s2z) * inv
+            t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv
+            eps = 1e-7
+            hit = (
+                (div != 0.0)
+                & (b1 + eps >= 0.0) & (b1 - eps <= 1.0)
+                & (b2 + eps >= 0.0) & (b1 + b2 - eps <= 1.0)
+                & (t >= mint) & (t <= t_best)
+                & (k < count)
+            )
+            t_best = jnp.where(hit, t, t_best)
+            tri_best = jnp.where(hit, tri_id, tri_best)
+            b1_best = jnp.where(hit, b1, b1_best)
+            b2_best = jnp.where(hit, b2, b2_best)
+            return t_best, tri_best, b1_best, b2_best
+
+        def leaf_tris(first, count, t_best, tri_best, b1_best, b2_best):
+            g0 = first // 8
+            for gk in range(max_leaf // 8):
+                grow = tris_ref[pl.ds(g0 + gk, 1), :]
+                blk = _extract_block(grow, 0, 128)
+                for k8 in range(8):
+                    k = gk * 8 + k8
+                    toff = k8 * 16
+
+                    def tv(i, _toff=toff):
+                        return blk[_toff + i, 0]
+
+                    t_best, tri_best, b1_best, b2_best = tri_test(
+                        tv, first + k, k, count, t_best, tri_best,
+                        b1_best, b2_best,
+                    )
+            return t_best, tri_best, b1_best, b2_best
+
+        def body(state):
+            sp, max_t, t_best, tri_best, b1_best, b2_best = state
+            e = stack_ref[sp - 1]
+            entry_tn = tn_stack_ref[sp - 1]
+            sp = sp - 1
+            live = entry_tn <= max_t
+
+            def visit(args):
+                sp, max_t, t_best, tri_best, b1_best, b2_best = args
+                is_inner = e >= 0
+
+                def do_leaf(args):
+                    sp, max_t, t_best, tri_best, b1_best, b2_best = args
+                    dec = -(e + 1)
+                    count = dec & 127
+                    first = (dec >> 7) * 8
+                    t_best, tri_best, b1_best, b2_best = leaf_tris(
+                        first, count, t_best, tri_best, b1_best, b2_best
+                    )
+                    max_t = jnp.max(t_best)
+                    return sp, max_t, t_best, tri_best, b1_best, b2_best
+
+                def do_inner(args):
+                    sp, max_t, t_best, tri_best, b1_best, b2_best = args
+                    brow = nb_ref[pl.ds(e, 1), :]
+                    mrow = nm_ref[pl.ds(e, 1), :]
+                    bb = _extract_block(brow, 0, 32)
+                    mm = _extract_block(mrow, 0, 16)
+                    tbq = t_best
+                    if any_hit:
+                        tbq = jnp.where(tri_best < 0, t_best, -BIG_T)
+                    tn_masked = []
+                    for c in range(4):
+                        b0 = c * 8
+                        t0x = (bb[b0 + 0, 0] - ox) * inv_dx
+                        t1x = (bb[b0 + 3, 0] - ox) * inv_dx
+                        t0y = (bb[b0 + 1, 0] - oy) * inv_dy
+                        t1y = (bb[b0 + 4, 0] - oy) * inv_dy
+                        t0z = (bb[b0 + 2, 0] - oz) * inv_dz
+                        t1z = (bb[b0 + 5, 0] - oz) * inv_dz
+                        tn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), mint),
+                        )
+                        tf = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.minimum(jnp.maximum(t0z, t1z), tbq),
+                        )
+                        tn_masked.append(jnp.where(tn <= tf, tn, BIG_T))
+                    # ONE batched reduction for all four children
+                    mins4 = jnp.min(
+                        jnp.stack(tn_masked).reshape(4, rows * 128),
+                        axis=1, keepdims=True,
+                    )  # (4, 1)
+                    items = []
+                    for c in range(4):
+                        f0 = mm[c * 4 + 0, 0]
+                        cnt = mm[c * 4 + 1, 0]
+                        entry = jnp.where(
+                            cnt > 0,
+                            -(((f0 // 8) << 7) | cnt) - 1,
+                            f0,
+                        )
+                        valid = (cnt >= 0) & (mins4[c, 0] < BIG_T)
+                        items.append((mins4[c, 0], entry, valid))
+
+                    def cswap(a, b):  # after: a.tn <= b.tn
+                        sw = a[0] > b[0]
+                        na = tuple(jnp.where(sw, y, x)
+                                   for x, y in zip(a, b))
+                        nb = tuple(jnp.where(sw, x, y)
+                                   for x, y in zip(a, b))
+                        return na, nb
+
+                    i0, i1, i2, i3 = items
+                    i0, i1 = cswap(i0, i1)
+                    i2, i3 = cswap(i2, i3)
+                    i0, i2 = cswap(i0, i2)
+                    i1, i3 = cswap(i1, i3)
+                    i1, i2 = cswap(i1, i2)
+                    # push far -> near so the nearest pops first
+                    for tn_c, entry_c, valid_c in (i3, i2, i1, i0):
+                        stack_ref[sp] = entry_c
+                        tn_stack_ref[sp] = tn_c
+                        sp = sp + valid_c.astype(jnp.int32)
+                    return sp, max_t, t_best, tri_best, b1_best, b2_best
+
+                return jax.lax.cond(is_inner, do_inner, do_leaf, args)
+
+            state = (sp, max_t, t_best, tri_best, b1_best, b2_best)
+            return jax.lax.cond(live, visit, lambda a: a, state)
+
+        def cond(state):
+            sp = state[0]
+            if any_hit:
+                return (sp > 0) & jnp.any(state[3] < 0)
+            return sp > 0
+
+        init = (
+            jnp.int32(1),
+            jnp.max(maxt),
+            maxt,
+            jnp.full((rows, 128), -1, jnp.int32),
+            jnp.zeros((rows, 128), jnp.float32),
+            jnp.zeros((rows, 128), jnp.float32),
+        )
+        _, _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
+            cond, body, init
+        )
+        t_ref[0] = t_best
+        tri_ref[0] = tri_best
+        b1_ref[0] = b1_best
+        b2_ref[0] = b2_best
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows",
+                                   "interpret"))
+def trace_packets4(
+    nb4, nm4, tris,
+    o, d, mint, maxt,
+    max_leaf: int = 64,
+    any_hit: bool = False,
+    rows: int = 32,
+    interpret: bool = False,
+):
+    """4-wide packet trace. Same contract as trace_packets."""
+    R = o.shape[0]
+    packet = rows * 128
+    P = R // packet
+
+    def shape8(x):
+        return x.reshape(P, rows, 128)
+
+    comps = [
+        shape8(o[:, 0]), shape8(o[:, 1]), shape8(o[:, 2]),
+        shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
+        shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
+    ]
+    kernel = _make_kernel4(max_leaf, any_hit, rows)
+    ray_spec = pl.BlockSpec((1, rows, 128), lambda p: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((P, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, rows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((P, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, rows, 128), jnp.float32),
+    ]
+    t, tri, b1, b2 = pl.pallas_call(
+        kernel,
+        grid=(P,),
+        in_specs=[full(nb4), full(nm4), full(tris)] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nb4, nm4, tris, *comps)
+    t = t.reshape(R)
+    tri = tri.reshape(R)
+    hit = tri >= 0
+    return hit, jnp.where(hit, t, BIG_T), tri, b1.reshape(R), b2.reshape(R)

@@ -92,10 +92,13 @@ class SceneMeta:
     # ray-trace backend: "pallas" = TPU packet kernel (ops/pallas_trace),
     # "jnp" = lockstep skip-link traversal (accel/traverse)
     trace_backend: str = "jnp"
-    trace_rows: int = 32  # packet = trace_rows * 128 rays (pallas only)
+    trace_rows: int = 16  # packet = trace_rows * 128 rays (pallas only)
+    # (rows sweep on bunny with the 4-wide kernel: 11.28 Mrays/s @16,
+    # 11.17 @8, 10.59 @32, 8.75 @64)
     trace_ways: int = 1  # stack entries visited per kernel iteration
     trace_compact: bool = False  # stable alive-partition before trace
     trace_aligned: bool = False  # leaf starts 8-aligned (pallas)
+    trace_wide: int = 1  # 4 = 4-wide collapsed BVH kernel
     trace_sort: bool = True  # morton-sort wavefronts before packet trace
     world_bounds: tuple = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
 
@@ -171,21 +174,24 @@ class SceneBuilder:
     # -- bake --------------------------------------------------------------
 
     def bake(self, max_leaf: int | None = None, trace_backend: str | None = None,
-             trace_rows: int = 32):
+             trace_rows: int = 16):
         import os
 
         if trace_backend is None:
             trace_backend = default_trace_backend()
         if max_leaf is None:
             # larger leaves amortize the packet kernel's scalar traversal;
-            # the jnp path unrolls max_leaf gathers per step so stays small
-            # 64 measured best on bunny with the aligned group-extract
-            # kernel (9.39 vs 9.25 at 32, 8.97 at 128 Mrays/s)
-            max_leaf = 64 if trace_backend == "pallas" else 4
+            # the jnp path unrolls max_leaf gathers per step so stays small.
+            # Measured on bunny with the 4-wide aligned kernel: 32 best
+            # (10.6@leaf32 vs 10.3@16, 10.2@64 Mrays/s at rows=32)
+            max_leaf = 32 if trace_backend == "pallas" else 4
             max_leaf = int(os.environ.get("GOBLIN_MAX_LEAF", max_leaf))
         trace_rows = int(os.environ.get("GOBLIN_ROWS", trace_rows))
         trace_ways = int(os.environ.get("GOBLIN_WAYS", 1))
         trace_compact = os.environ.get("GOBLIN_COMPACT", "0") == "1"
+        # 4-wide collapsed BVH is the production traversal (11.3 vs 9.4
+        # Mrays/s for the binary kernel on bunny); GOBLIN_WIDE=1 reverts
+        trace_wide = int(os.environ.get("GOBLIN_WIDE", 4))
         tri_v = [np.zeros((0, 3, 3), np.float32)]
         tri_n = [np.zeros((0, 3, 3), np.float32)]
         tri_uv = [np.zeros((0, 3, 2), np.float32)]
@@ -455,12 +461,16 @@ class SceneBuilder:
             "ftex_const": ftex_sys.const,
         }
         if trace_backend == "pallas":
-            from ..ops.pallas_trace import pack_scene
+            from ..ops.pallas_trace import collapse4, pack_scene
 
             packed = pack_scene(bvh.bounds, bvh.meta, soup_np)
             scene["pk_nodes"] = jnp.asarray(packed["nodes"])
             scene["pk_meta"] = jnp.asarray(packed["meta"])
             scene["pk_tris"] = jnp.asarray(packed["tris"])
+            if trace_wide == 4:
+                nb4, nm4 = collapse4(bvh.bounds, bvh.meta)
+                scene["pk_nb4"] = jnp.asarray(nb4)
+                scene["pk_nm4"] = jnp.asarray(nm4)
 
         if self.vol_grid is not None:
             scene["vol_grid"] = jnp.asarray(self.vol_grid)
@@ -541,6 +551,7 @@ class SceneBuilder:
             trace_ways=trace_ways,
             trace_compact=trace_compact,
             trace_aligned=trace_backend == "pallas",
+            trace_wide=trace_wide,
             # measured on bunny: morton/octant ray sorting costs more
             # (argsort + 12 gathers) than the packet-coherence it buys at
             # 512x384; off by default, GOBLIN_SORT=1 for huge wavefronts
