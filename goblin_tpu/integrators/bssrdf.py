@@ -59,10 +59,7 @@ def subsurface_L(scene, meta, frag, active, pixel_ids, s_idx, seed,
     """Radiance added by subsurface transport at the fragment. Returns
     (R, 3); zero on lanes whose material is not subsurface."""
     lights = scene["lights"]
-    tri_data = {
-        "em_v0": scene["em_v0"], "em_e1": scene["em_e1"],
-        "em_e2": scene["em_e2"], "em_n": scene["em_n"],
-    }
+    tri_data = {"em_rows": scene["em_rows"]}
     mid = frag["mat"]
     is_ss = (jnp.take(scene["mat_type"], mid) == MAT_SUBSURFACE) & active \
         & frag["hit"]

@@ -49,20 +49,17 @@ DIM_BSDF_COMP = DIM_BASE + 5
 
 
 def _em_tri_data(scene):
-    return {
-        "em_v0": scene["em_v0"],
-        "em_e1": scene["em_e1"],
-        "em_e2": scene["em_e2"],
-        "em_n": scene["em_n"],
-    }
+    return {"em_rows": scene["em_rows"]}
 
 
 def _area_light_Le(scene, frag, wo):
     """Emission toward wo from the hit point, one-sided
     (reference AreaLight::L: dot(ns, w) > 0)."""
+    from ..lights.lights import _sel
+
     lid = frag["light"]
     has = lid >= 0
-    Le = jnp.take(scene["lights"]["color"], jnp.maximum(lid, 0), axis=0)
+    Le = _sel(scene["lights"], "color", jnp.maximum(lid, 0))
     facing = vm.dot(frag["ns"], wo) > 0.0
     return jnp.where((has & facing)[..., None], Le, 0.0)
 

@@ -146,6 +146,24 @@ def bake_lights(build: LightsBuild, em_tri_light, em_tri_area,
     }
 
 
+def _sel(lights, key, lid):
+    """Per-lane row select from the light table. XLA lowers per-lane
+    gathers to slow serialized loads on TPU; light counts are tiny, so a
+    masked select-sum (dense vector ops over every light) is far
+    cheaper. Falls back to gather for large tables."""
+    tab = lights[key]
+    L = tab.shape[0]
+    if L <= 16:
+        out = jnp.zeros(lid.shape + tab.shape[1:], tab.dtype)
+        for x in range(L):
+            m = lid == x
+            out = jnp.where(
+                m.reshape(m.shape + (1,) * (tab.ndim - 1)), tab[x], out
+            )
+        return out
+    return jnp.take(tab, lid, axis=0)
+
+
 def pick_light(lights, u):
     """Power-weighted light pick (reference Scene::sampleLight).
     Returns (light_id (R,), pick_pdf (R,))."""
@@ -153,8 +171,7 @@ def pick_light(lights, u):
     L = cdf.shape[0]
     idx = jnp.sum((cdf[None, :] <= u[..., None]).astype(jnp.int32), axis=-1)
     idx = jnp.clip(idx, 0, L - 1)
-    p = lights["power"]
-    pdf = p[idx] / jnp.sum(p)
+    pdf = _sel(lights, "power", idx) / jnp.sum(lights["power"])
     return idx, pdf
 
 
@@ -170,10 +187,10 @@ def _rescale_cdf_u(em_cdf, tri, seg0, u):
 
 def spot_falloff(lights, lid, w):
     """Spot cone falloff for world direction w leaving the light."""
-    d = lights["direction"][lid]
+    d = _sel(lights, "direction", lid)
     cos_t = vm.dot(w, d)
-    ctm = lights["cos_theta_max"][lid]
-    cfs = lights["cos_falloff_start"][lid]
+    ctm = _sel(lights, "cos_theta_max", lid)
+    cfs = _sel(lights, "cos_falloff_start", lid)
     delta = (cos_t - ctm) / jnp.maximum(cfs - ctm, 1e-12)
     f = jnp.clip(delta, 0.0, 1.0) ** 4
     return jnp.where(cos_t < ctm, 0.0, jnp.where(cos_t > cfs, 1.0, f))
@@ -188,10 +205,10 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
     Returns dict: Li (R,3), wi (R,3), pdf (R,), shadow_mint, shadow_maxt,
     is_delta (R,), dist (R,).
     """
-    ltype = lights["type"][lid]
-    lcolor = lights["color"][lid]
-    lpos = lights["position"][lid]
-    ldir = lights["direction"][lid]
+    ltype = _sel(lights, "type", lid)
+    lcolor = _sel(lights, "color", lid)
+    lpos = _sel(lights, "position", lid)
+    ldir = _sel(lights, "direction", lid)
 
     # --- point / spot: direction to the position
     to_l = lpos - p
@@ -205,8 +222,8 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
     wi_dir = -ldir
 
     # --- area: pick a triangle in the light's segment by area cdf
-    seg0 = lights["seg_start"][lid]
-    seg1 = lights["seg_start"][lid + 1]
+    seg0 = _sel(lights, "seg_start", lid)
+    seg1 = _sel(lights, "seg_start", lid + 1)
     E = lights["em_cdf"].shape[0]
     if E > 0:
         # searchsorted within segment via masked compare-all
@@ -223,10 +240,9 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
         # remapped u, src/GoblinSampler.cpp:420-440). Raw re-use would
         # confine sqrt(u1) to a radial band per triangle — biased.
         u1r = _rescale_cdf_u(lights["em_cdf"], tri, seg0, u1)
-        v0 = tri_data["em_v0"][tri]
-        e1 = tri_data["em_e1"][tri]
-        e2 = tri_data["em_e2"][tri]
-        n = tri_data["em_n"][tri]
+        erows = jnp.take(tri_data["em_rows"], tri, axis=0)
+        v0, e1, e2, n = (erows[..., 0:3], erows[..., 3:6], erows[..., 6:9],
+                         erows[..., 9:12])
         bu, bv = sp.uniform_sample_triangle(u1r, u2)
         ps = v0 + bu[..., None] * e1 + bv[..., None] * e2
         to_s = ps - p
@@ -234,7 +250,7 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
         dist_a = jnp.sqrt(d2)
         wi_area = to_s / dist_a[..., None]
         cos_l = vm.dot(n, -wi_area)
-        total_area = lights["area"][lid]
+        total_area = _sel(lights, "area", lid)
         # solid-angle pdf: r^2 / (|cos| * A_total) (reference
         # Geometry::pdf, src/GoblinGeometry.cpp:44-62)
         pdf_area = d2 / jnp.maximum(jnp.abs(cos_l) * total_area, 1e-12)
@@ -250,7 +266,7 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
     is_point = ltype == LIGHT_POINT
     is_dir = ltype == LIGHT_DIRECTIONAL
     is_spot = ltype == LIGHT_SPOT
-    is_sphere = lights["is_sphere"][lid]
+    is_sphere = _sel(lights, "is_sphere", lid)
     is_area = (ltype == LIGHT_AREA) & ~is_sphere
     is_ibl = ltype == LIGHT_IBL
 
@@ -260,9 +276,9 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
     # geometry (cos_max=1, |v|~0) has infinite backward partials that
     # would NaN the masked lanes' grads — substitute well-conditioned
     # dummies on those lanes (results are where()-discarded anyway).
-    is_sphere = lights["is_sphere"][lid]
-    sc = lights["sph_center"][lid]
-    sr = jnp.where(is_sphere, jnp.maximum(lights["sph_radius"][lid], 1e-6),
+    is_sphere = _sel(lights, "is_sphere", lid)
+    sc = _sel(lights, "sph_center", lid)
+    sr = jnp.where(is_sphere, jnp.maximum(_sel(lights, "sph_radius", lid), 1e-6),
                    1.0)
     v = p - sc
     v_ok = vm.squared_length(v) > 1e-12
@@ -314,7 +330,7 @@ def sample_li(lights, tri_data, lid, p, eps, u1, u2):
         outside,
         sp.uniform_cone_pdf(cos_max),
         sdist2 / jnp.maximum(
-            jnp.abs(cos_sl) * lights["area"][lid], 1e-12
+            jnp.abs(cos_sl) * _sel(lights, "area", lid), 1e-12
         ),
     )
     li_sph = jnp.where((cos_sl > 0.0)[..., None], lcolor, 0.0)
@@ -387,9 +403,9 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
     Returns dict: p (R,3), n (R,3) (zeros for delta positions), dir
     (R,3), pdf_pos (R,), pdf_dir (R,), is_delta (R,).
     """
-    ltype = lights["type"][lid]
-    lpos = lights["position"][lid]
-    ldir = lights["direction"][lid]
+    ltype = _sel(lights, "type", lid)
+    lpos = _sel(lights, "position", lid)
+    ldir = _sel(lights, "direction", lid)
     wc = lights["world_center"]
     wr = lights["world_radius"]
 
@@ -406,8 +422,8 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
     )
 
     # area position: triangle sample in the light's segment
-    seg0 = lights["seg_start"][lid]
-    seg1 = lights["seg_start"][lid + 1]
+    seg0 = _sel(lights, "seg_start", lid)
+    seg1 = _sel(lights, "seg_start", lid + 1)
     E = lights["em_cdf"].shape[0]
     if E > 0:
         e_idx = jnp.arange(E)
@@ -418,22 +434,23 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
         tri = jnp.clip(seg0 + jnp.sum(below.astype(jnp.int32), axis=-1), 0,
                        E - 1)
         u1r = _rescale_cdf_u(lights["em_cdf"], tri, seg0, u_p1)
+        erows = jnp.take(tri_data["em_rows"], tri, axis=0)
         bu, bv = sp.uniform_sample_triangle(u1r, u_p2)
         p_area = (
-            tri_data["em_v0"][tri]
-            + bu[..., None] * tri_data["em_e1"][tri]
-            + bv[..., None] * tri_data["em_e2"][tri]
+            erows[..., 0:3]
+            + bu[..., None] * erows[..., 3:6]
+            + bv[..., None] * erows[..., 6:9]
         )
-        n_area = tri_data["em_n"][tri]
+        n_area = erows[..., 9:12]
     else:
         p_area = p_point
         n_area = jnp.broadcast_to(ldir, p_point.shape)
     # sphere emitters: uniform surface position (reference
     # Sphere::sample(u1,u2), src/GoblinSphere.cpp:103-106)
-    is_sph = lights["is_sphere"][lid]
+    is_sph = _sel(lights, "is_sphere", lid)
     sph_n = sp.uniform_sample_sphere(u_p1, u_p2)
-    p_sph = (lights["sph_center"][lid]
-             + lights["sph_radius"][lid][..., None] * sph_n)
+    p_sph = (_sel(lights, "sph_center", lid)
+             + _sel(lights, "sph_radius", lid)[..., None] * sph_n)
     p_area = jnp.where(is_sph[..., None], p_sph, p_area)
     n_area = jnp.where(is_sph[..., None], sph_n, n_area)
 
@@ -462,7 +479,7 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
         is_dir,
         1.0 / (jnp.pi * wr * wr),
         jnp.where(
-            is_area, 1.0 / jnp.maximum(lights["area"][lid], 1e-20),
+            is_area, 1.0 / jnp.maximum(_sel(lights, "area", lid), 1e-20),
             jnp.where(is_ibl, 1.0 / (4.0 * jnp.pi * wr * wr), 1.0),
         ),
     )
@@ -470,7 +487,7 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
     # directions
     d_sphere = sp.uniform_sample_sphere(u_d1, u_d2)
     cone_local = sp.uniform_sample_cone(u_d1, u_d2,
-                                        lights["cos_theta_max"][lid])
+                                        _sel(lights, "cos_theta_max", lid))
     lx, ly = vm.coordinate_system(ldir)
     d_cone = (
         cone_local[..., 0:1] * lx + cone_local[..., 1:2] * ly
@@ -495,7 +512,7 @@ def sample_emission(lights, tri_data, lid, u_p1, u_p2, u_d1, u_d2):
         sp.uniform_sphere_pdf(),
         jnp.where(
             is_spot,
-            sp.uniform_cone_pdf(lights["cos_theta_max"][lid]),
+            sp.uniform_cone_pdf(_sel(lights, "cos_theta_max", lid)),
             jnp.where(
                 is_area | is_ibl,
                 jnp.maximum(cos_local[..., 2], 0.0) * (1.0 / jnp.pi),
@@ -517,13 +534,13 @@ def eval_emission(lights, lid, n_light, wo, env_le=None):
     evaluates envmap.eval_env(scene, meta, -wo) when the scene has an
     IBL — ImageBasedLight::eval looks the map up at -wo,
     src/GoblinLight.cpp:600-608); IBL lanes emit 0 when omitted."""
-    ltype = lights["type"][lid]
-    lcolor = lights["color"][lid]
+    ltype = _sel(lights, "type", lid)
+    lcolor = _sel(lights, "color", lid)
     is_point = ltype == LIGHT_POINT
     is_dir = ltype == LIGHT_DIRECTIONAL
     is_spot = ltype == LIGHT_SPOT
     is_area = ltype == LIGHT_AREA
-    ldir = lights["direction"][lid]
+    ldir = _sel(lights, "direction", lid)
     spot = spot_falloff(lights, lid, wo)[..., None] * lcolor
     parallel = jnp.abs(vm.dot(wo, ldir) - 1.0) < 1e-5
     dir_e = jnp.where(parallel[..., None], lcolor, 0.0)
@@ -549,9 +566,9 @@ def pdf_emission_direction(lights, lid, n_light, w):
     (solid angle): point -> 1/4pi; spot -> cone pdf; directional -> 0;
     area / ibl -> cos/pi one-sided (reference per-type pdfDirection;
     ImageBasedLight::pdfDirection src/GoblinLight.cpp:592-597)."""
-    ltype = lights["type"][lid]
-    cone = sp.uniform_cone_pdf(lights["cos_theta_max"][lid])
-    cos_t = vm.dot(w, lights["direction"][lid])
+    ltype = _sel(lights, "type", lid)
+    cone = sp.uniform_cone_pdf(_sel(lights, "cos_theta_max", lid))
+    cos_t = vm.dot(w, _sel(lights, "direction", lid))
     # spot pdfDirection ignores falloff (reference SpotLight::pdfDirection)
     area_cos = vm.dot(n_light, w)
     return jnp.where(
@@ -574,14 +591,14 @@ def pdf_emission_position(lights, lid):
     true bounding-sphere density 1/(4 pi r^2); see the sample_emission
     docstring for the deliberate divergence from the reference's
     radius-omitted 1/(4pi), src/GoblinLight.cpp:585-590)."""
-    ltype = lights["type"][lid]
+    ltype = _sel(lights, "type", lid)
     wr = lights["world_radius"]
     return jnp.where(
         ltype == LIGHT_DIRECTIONAL,
         1.0 / (jnp.pi * wr * wr),
         jnp.where(
             ltype == LIGHT_AREA,
-            1.0 / jnp.maximum(lights["area"][lid], 1e-20),
+            1.0 / jnp.maximum(_sel(lights, "area", lid), 1e-20),
             jnp.where(
                 ltype == LIGHT_IBL, 1.0 / (4.0 * jnp.pi * wr * wr), 0.0
             ),
@@ -596,10 +613,10 @@ def pdf_li(lights, lid, p, wi, hit_t, hit_cos, hit_light):
     Used for MIS on the BSDF-sampling side: non-delta lights only. For
     area lights the pdf is r^2/(|cos| A); 0 when the hit isn't this light.
     """
-    ltype = lights["type"][lid]
-    is_sphere = lights["is_sphere"][lid]
+    ltype = _sel(lights, "type", lid)
+    is_sphere = _sel(lights, "is_sphere", lid)
     is_area = (ltype == LIGHT_AREA) & ~is_sphere
-    total_area = lights["area"][lid]
+    total_area = _sel(lights, "area", lid)
     ok = (is_area | is_sphere) & (hit_light == lid)
     # clamp t under the mask: miss lanes carry t = BIG_T whose square is
     # inf, which would poison the backward pass through the where
@@ -609,9 +626,9 @@ def pdf_li(lights, lid, p, wi, hit_t, hit_cos, hit_light):
     )
     # sphere emitters: cone solid-angle pdf from outside (reference
     # Sphere::pdf, src/GoblinSphere.cpp:138-150)
-    v = p - lights["sph_center"][lid]
+    v = p - _sel(lights, "sph_center", lid)
     sd2 = jnp.maximum(vm.squared_length(v), 1e-20)
-    sr = lights["sph_radius"][lid]
+    sr = _sel(lights, "sph_radius", lid)
     sin2max = jnp.clip(sr * sr / sd2, 0.0, 1.0)
     cm2 = 1.0 - sin2max
     cm_ok = cm2 > 1e-12

@@ -119,6 +119,25 @@ def default_trace_backend() -> str:
         return "jnp"
 
 
+def _pack_mat_rows(materials) -> np.ndarray:
+    """(M, 8) f32 rows: [mtype, tex_c0, tex_c1, tex_f0, tex_f1, eta, k,
+    inner], int columns bitcast (bit-preserving) through f32 so the whole
+    material resolves with one row gather."""
+    M = len(materials)
+    rows = np.zeros((M, 8), np.float32)
+    iview = rows.view(np.int32)
+    for i, m in enumerate(materials):
+        iview[i, 0] = m.kind
+        iview[i, 1] = m.tex_c0
+        iview[i, 2] = m.tex_c1
+        iview[i, 3] = m.tex_f0
+        iview[i, 4] = m.tex_f1
+        rows[i, 5] = m.eta
+        rows[i, 6] = m.k
+        iview[i, 7] = m.inner
+    return rows
+
+
 def _transform_mesh(mesh, m):
     """Apply 4x4 to a TriangleMesh -> (v (V,3), n (V,3)|None, uv)."""
     v = mesh.positions @ m[:3, :3].T + m[:3, 3]
@@ -428,6 +447,10 @@ class SceneBuilder:
             "mat_inner": jnp.asarray(
                 np.asarray([m.inner for m in self.materials], np.int32)
             ),
+            # fused per-material row (one gather in gather_material):
+            # [mtype, tex_c0, tex_c1, tex_f0, tex_f1, eta, k, inner]
+            # with int columns bitcast through f32
+            "mat_rows": jnp.asarray(_pack_mat_rows(self.materials)),
             "mat_bump": jnp.asarray(
                 np.asarray([m.bump_tex for m in self.materials], np.int32)
             ),
@@ -455,6 +478,12 @@ class SceneBuilder:
             "em_e1": jnp.asarray(e1 if em_sel.size else np.zeros((0, 3), np.float32)),
             "em_e2": jnp.asarray(e2 if em_sel.size else np.zeros((0, 3), np.float32)),
             "em_n": jnp.asarray(em_n if em_sel.size else np.zeros((0, 3), np.float32)),
+            # fused emissive-triangle rows [v0, e1, e2, n] — one gather
+            # per light sample instead of four
+            "em_rows": jnp.asarray(
+                np.concatenate([em_v[:, 0], e1, e2, em_n], axis=-1)
+                if em_sel.size else np.zeros((0, 12), np.float32)
+            ),
             "tex_atlas": tex_sys.atlas,
             "ftex_atlas": ftex_sys.atlas,
             "tex_const": tex_sys.const,

@@ -226,6 +226,13 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
             scene["tri_soup"],
             scene["tri_n"].reshape(T_n, 9),
             scene["tri_uv"].reshape(T_n, 6),
+            # int ids ride the same row gather, bitcast through f32
+            jax.lax.bitcast_convert_type(
+                scene["tri_mat"], jnp.float32
+            )[:, None],
+            jax.lax.bitcast_convert_type(
+                scene["tri_light"], jnp.float32
+            )[:, None],
         ],
         axis=-1,
     )
@@ -284,8 +291,8 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
     fallback, fallback_v = vm.coordinate_system(ns_tri)
     dpdu_tri = jnp.where(degenerate[..., None], fallback, dpdu_tri)
     dpdv_tri = jnp.where(degenerate[..., None], fallback_v, dpdv_tri)
-    mat_tri = jnp.take(scene["tri_mat"], tri_c)
-    light_tri = jnp.take(scene["tri_light"], tri_c)
+    mat_tri = jax.lax.bitcast_convert_type(packed[..., 24], jnp.int32)
+    light_tri = jax.lax.bitcast_convert_type(packed[..., 25], jnp.int32)
 
     if meta.n_spheres > 0:
         sc = jnp.take(scene["sph_center"], jnp.maximum(sph_id, 0), axis=0)
@@ -475,11 +482,11 @@ def _perturb(scene, meta: SceneMeta, frag):
     const = scene.get("ftex_const")
     p = frag.get("p")
 
+    from ..integrators.materials import _pick
+
     def h(uv_q):
         stack = ftex.eval_all(uv_q, atlas=atlas, const=const, p=p)
-        return jnp.take_along_axis(
-            stack, jnp.maximum(bump_id, 0)[None, :, None], axis=0
-        )[0][..., 0]
+        return _pick(stack, jnp.maximum(bump_id, 0))[..., 0]
 
     h0 = h(uv)
     hu = h(uv + jnp.stack([du, jnp.zeros_like(du)], -1))
@@ -503,9 +510,7 @@ def _perturb(scene, meta: SceneMeta, frag):
         uv, atlas=scene.get("tex_atlas"), const=scene.get("tex_const"),
         p=frag.get("p"),
     )
-    c = jnp.take_along_axis(
-        tex_stack, jnp.maximum(norm_id, 0)[None, :, None], axis=0
-    )[0]
+    c = _pick(tex_stack, jnp.maximum(norm_id, 0))
     n_ts = 2.0 * c - 1.0  # tangent-space decode
     t_ = vm.normalize(
         dpdu - vm.dot(dpdu, ns)[..., None] * ns, eps=1e-30

@@ -27,10 +27,15 @@ def _two_triangle_light():
         world_center=(0, 0, 0), world_radius=10.0,
     )
     tri_data = {
-        "em_v0": jnp.asarray([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]]),
-        "em_e1": jnp.asarray([[1.0, 0.0, 0.0], [3.0, 0.0, 0.0]]),
-        "em_e2": jnp.asarray([[0.0, 1.0, 0.0], [0.0, 3.0, 0.0]]),
-        "em_n": jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]),
+        "em_rows": jnp.concatenate(
+            [
+                jnp.asarray([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]]),
+                jnp.asarray([[1.0, 0.0, 0.0], [3.0, 0.0, 0.0]]),
+                jnp.asarray([[0.0, 1.0, 0.0], [0.0, 3.0, 0.0]]),
+                jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]),
+            ],
+            axis=-1,
+        )
     }
     return lights, tri_data
 
