@@ -115,7 +115,7 @@ def make_li(meta, max_depth=None, with_stats=False):
                 return L, (z, z)
             return L
 
-        def bounce_body(state, b):
+        def bounce_body(state, b, trace_cont=True):
             L, throughput, frag, active = state
             p = frag["p"]
             ns = frag["ns"]
@@ -191,11 +191,19 @@ def make_li(meta, max_depth=None, with_stats=False):
             pdf_b = bs["pdf"]
             cont_ok = active & bs["valid"] & jnp.any(f_b > 0.0, axis=-1)
 
-            frag2 = scn.intersect(
-                scene, meta, p, wi,
-                jnp.where(cont_ok, eps, scn.BIG_T),
-                jnp.where(cont_ok, 3.0e37, 0.0),
-            )
+            if trace_cont:
+                frag2 = scn.intersect(
+                    scene, meta, p, wi,
+                    jnp.where(cont_ok, eps, scn.BIG_T),
+                    jnp.where(cont_ok, 3.0e37, 0.0),
+                )
+            else:
+                # final bounce of an all-delta-light scene: the
+                # continuation hit can't be emissive and the walk ends —
+                # skip the trace, keep the fragment structure
+                frag2 = jax.tree_util.tree_map(jnp.zeros_like, frag)
+                frag2["hit"] = jnp.zeros_like(frag["hit"])
+                frag2["light"] = jnp.full_like(frag["light"], -1)
 
             # light pdf of the BSDF direction for MIS (area lights only)
             cos_at_light = vm.dot(frag2["ns"], -wi)
@@ -269,10 +277,24 @@ def make_li(meta, max_depth=None, with_stats=False):
             frag["hit"],
         )
         # scan (not fori_loop) so the bounce loop is reverse-mode
-        # differentiable for the gradient path
-        (L, _, _, _), ys = jax.lax.scan(
-            bounce_body, init, jnp.arange(max_depth - 1)
+        # differentiable for the gradient path; for all-delta-light
+        # scenes the LAST bounce is peeled out of the scan and runs
+        # without its (provably zero-contribution) continuation trace
+        skip_last = (
+            getattr(meta, "all_delta_lights", False) and max_depth >= 2
         )
+        n_scan = max_depth - 2 if skip_last else max_depth - 1
+        state, ys = jax.lax.scan(bounce_body, init, jnp.arange(n_scan))
+        if skip_last:
+            state, ys_last = bounce_body(
+                state, jnp.int32(max_depth - 2), trace_cont=False
+            )
+            if with_stats:
+                ys = tuple(
+                    jnp.concatenate([a, b[None]])
+                    for a, b in zip(ys, ys_last)
+                )
+        (L, _, _, _) = state
         if meta.volume is not None:
             from .volume import apply_volume
 

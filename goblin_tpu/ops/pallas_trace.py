@@ -429,11 +429,11 @@ def trace_packets(
 # ---------------------------------------------------------------------------
 
 
-def collapse4(bounds: np.ndarray, meta: np.ndarray):
+def collapse4(bounds: np.ndarray, meta: np.ndarray, width: int = 4):
     """Binary BVHArrays (pre-order, skip links, leaf firsts 8-aligned)
-    -> 4-wide node arrays.
+    -> width-wide node arrays (width in {4, 8}).
 
-    Returns (nb4 (N4,128) f32, nm4 (N4,128) i32): one row per node;
+    Returns (nb (N,128) f32, nm (N,128) i32): one row per node;
     child c occupies bounds lanes c*8..c*8+5 and meta lanes c*4..c*4+1
     with [f0, count]: count>0 leaf (f0=first_tri), count==0 inner
     (f0=child node id), count==-1 empty slot."""
@@ -458,9 +458,9 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray):
         my = len(nb4_rows)
         nb4_rows.append(np.zeros(128, np.float32))
         nm4_rows.append(np.full(128, 0, np.int32))
-        # gather up to 4 subtree roots under j
+        # gather up to `width` subtree roots under j
         group = list(kids(j))
-        while len(group) < 4:
+        while len(group) < width:
             inners = [g for g in group if not is_leaf[g]]
             if not inners:
                 break
@@ -469,7 +469,7 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray):
             group[gi:gi + 1] = list(kids(big))
         row_b = nb4_rows[my]
         row_m = nm4_rows[my]
-        for c in range(4):
+        for c in range(width):
             if c < len(group):
                 g = group[c]
                 row_b[c * 8:c * 8 + 6] = bounds[g]
@@ -493,7 +493,8 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray):
         row_b[0:6] = bounds[0]
         row_m[0] = meta[0, 0]
         row_m[1] = meta[0, 1]
-        row_m[5] = row_m[9] = row_m[13] = -1
+        for c in range(1, width):
+            row_m[c * 4 + 1] = -1
         nb4_rows.append(row_b)
         nm4_rows.append(row_m)
     else:
@@ -501,7 +502,8 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray):
     return np.stack(nb4_rows), np.stack(nm4_rows)
 
 
-def _make_kernel4(max_leaf: int, any_hit: bool, rows: int):
+def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
+                  width: int = 4):
     assert max_leaf % 8 == 0 and max_leaf <= 127
 
     def kernel(nb_ref, nm_ref, tris_ref,
@@ -598,13 +600,13 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int):
                     sp, max_t, t_best, tri_best, b1_best, b2_best = args
                     brow = nb_ref[pl.ds(e, 1), :]
                     mrow = nm_ref[pl.ds(e, 1), :]
-                    bb = _extract_block(brow, 0, 32)
-                    mm = _extract_block(mrow, 0, 16)
+                    bb = _extract_block(brow, 0, width * 8)
+                    mm = _extract_block(mrow, 0, width * 4)
                     tbq = t_best
                     if any_hit:
                         tbq = jnp.where(tri_best < 0, t_best, -BIG_T)
                     tn_masked = []
-                    for c in range(4):
+                    for c in range(width):
                         b0 = c * 8
                         t0x = (bb[b0 + 0, 0] - ox) * inv_dx
                         t1x = (bb[b0 + 3, 0] - ox) * inv_dx
@@ -623,13 +625,13 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int):
                             jnp.minimum(jnp.maximum(t0z, t1z), tbq),
                         )
                         tn_masked.append(jnp.where(tn <= tf, tn, BIG_T))
-                    # ONE batched reduction for all four children
+                    # ONE batched reduction for all children
                     mins4 = jnp.min(
-                        jnp.stack(tn_masked).reshape(4, rows * 128),
+                        jnp.stack(tn_masked).reshape(width, rows * 128),
                         axis=1, keepdims=True,
-                    )  # (4, 1)
+                    )  # (width, 1)
                     items = []
-                    for c in range(4):
+                    for c in range(width):
                         f0 = mm[c * 4 + 0, 0]
                         cnt = mm[c * 4 + 1, 0]
                         entry = jnp.where(
@@ -648,14 +650,23 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int):
                                    for x, y in zip(a, b))
                         return na, nb
 
-                    i0, i1, i2, i3 = items
-                    i0, i1 = cswap(i0, i1)
-                    i2, i3 = cswap(i2, i3)
-                    i0, i2 = cswap(i0, i2)
-                    i1, i3 = cswap(i1, i3)
-                    i1, i2 = cswap(i1, i2)
+                    # invalid children sort to the BACK (tn = BIG via the
+                    # mins mask; empty slots get BIG explicitly) so the
+                    # front element is the nearest VALID child
+                    # optimal sorting networks (4: 5 comparators,
+                    # 8: 19 comparators)
+                    if width == 4:
+                        net = [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)]
+                    else:
+                        net = [(0, 1), (2, 3), (4, 5), (6, 7),
+                               (0, 2), (1, 3), (4, 6), (5, 7),
+                               (1, 2), (5, 6), (0, 4), (3, 7),
+                               (1, 5), (2, 6), (1, 4), (3, 6),
+                               (2, 4), (3, 5), (3, 4)]
+                    for a, b in net:
+                        items[a], items[b] = cswap(items[a], items[b])
                     # push far -> near so the nearest pops first
-                    for tn_c, entry_c, valid_c in (i3, i2, i1, i0):
+                    for tn_c, entry_c, valid_c in reversed(items):
                         stack_ref[sp] = entry_c
                         tn_stack_ref[sp] = tn_c
                         sp = sp + valid_c.astype(jnp.int32)
@@ -691,7 +702,7 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows",
+@partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows", "width",
                                    "interpret"))
 def trace_packets4(
     nb4, nm4, tris,
@@ -699,6 +710,7 @@ def trace_packets4(
     max_leaf: int = 64,
     any_hit: bool = False,
     rows: int = 32,
+    width: int = 4,
     interpret: bool = False,
 ):
     """4-wide packet trace. Same contract as trace_packets."""
@@ -714,7 +726,7 @@ def trace_packets4(
         shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
         shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
     ]
-    kernel = _make_kernel4(max_leaf, any_hit, rows)
+    kernel = _make_kernel4(max_leaf, any_hit, rows, width)
     ray_spec = pl.BlockSpec((1, rows, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)

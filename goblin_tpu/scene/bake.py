@@ -88,6 +88,10 @@ class SceneMeta:
     # per-light NEE sample counts (reference Light::getSamplesNum, used
     # by Whitted's multiSampleLd — GoblinRenderer.cpp:474-500)
     light_sample_nums: tuple = ()
+    # every scene light is a delta emitter (point/directional/spot) and
+    # there is no env: a BSDF ray can never hit a light, so the LAST
+    # bounce's continuation trace has zero contribution (PT skips it)
+    all_delta_lights: bool = False
     output_path: str = "goblin.exr"
     # ray-trace backend: "pallas" = TPU packet kernel (ops/pallas_trace),
     # "jnp" = lockstep skip-link traversal (accel/traverse)
@@ -208,9 +212,9 @@ class SceneBuilder:
         trace_rows = int(os.environ.get("GOBLIN_ROWS", trace_rows))
         trace_ways = int(os.environ.get("GOBLIN_WAYS", 1))
         trace_compact = os.environ.get("GOBLIN_COMPACT", "0") == "1"
-        # 4-wide collapsed BVH is the production traversal (11.3 vs 9.4
-        # Mrays/s for the binary kernel on bunny); GOBLIN_WIDE=1 reverts
-        trace_wide = int(os.environ.get("GOBLIN_WIDE", 4))
+        # 8-wide collapsed BVH is the production traversal (18.65 vs
+        # 18.39 wide4 / ~15 binary on bunny); GOBLIN_WIDE in {1,4,8}
+        trace_wide = int(os.environ.get("GOBLIN_WIDE", 8))
         tri_v = [np.zeros((0, 3, 3), np.float32)]
         tri_n = [np.zeros((0, 3, 3), np.float32)]
         tri_uv = [np.zeros((0, 3, 2), np.float32)]
@@ -496,8 +500,8 @@ class SceneBuilder:
             scene["pk_nodes"] = jnp.asarray(packed["nodes"])
             scene["pk_meta"] = jnp.asarray(packed["meta"])
             scene["pk_tris"] = jnp.asarray(packed["tris"])
-            if trace_wide == 4:
-                nb4, nm4 = collapse4(bvh.bounds, bvh.meta)
+            if trace_wide in (4, 8):
+                nb4, nm4 = collapse4(bvh.bounds, bvh.meta, width=trace_wide)
                 scene["pk_nb4"] = jnp.asarray(nb4)
                 scene["pk_nm4"] = jnp.asarray(nm4)
 
@@ -573,6 +577,10 @@ class SceneBuilder:
             env_light_id=self.env_light_id,
             light_sample_nums=tuple(
                 int(n) for n in self.lights.sample_nums
+            ),
+            all_delta_lights=(
+                self.env_light_id < 0
+                and all(t in (0, 1, 2) for t in self.lights.types)
             ),
             output_path=self.output_path,
             trace_backend=trace_backend,

@@ -107,13 +107,14 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
         mint = jnp.concatenate([mint, jnp.full((pad,), BIG_T, mint.dtype)])
         maxt = jnp.concatenate([maxt, jnp.zeros((pad,), maxt.dtype)])
-    if getattr(meta, "trace_wide", 1) == 4 and "pk_nb4" in scene:
+    if getattr(meta, "trace_wide", 1) in (4, 8) and "pk_nb4" in scene:
         from ..ops.pallas_trace import trace_packets4
 
         hit, t, tri, b1, b2 = trace_packets4(
             scene["pk_nb4"], scene["pk_nm4"], scene["pk_tris"],
             o, d, mint, maxt,
             max_leaf=meta.max_leaf, any_hit=any_hit, rows=meta.trace_rows,
+            width=meta.trace_wide,
         )
     else:
         hit, t, tri, b1, b2 = trace_packets(
