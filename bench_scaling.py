@@ -65,7 +65,8 @@ def main():
 
     from goblin_tpu.assets import ensure_bunny_obj
     from goblin_tpu.integrators.path import make_li
-    from goblin_tpu.parallel.mesh import make_mesh, render_sharded
+    from goblin_tpu.parallel.mesh import (make_mesh, render_sharded,
+                                          render_sharded_dense)
     from goblin_tpu.scene.loader import load_scene
 
     depth = 3
@@ -93,13 +94,39 @@ def main():
            "spp": spp, "depth": depth}
 
     if _TPU:
-        from goblin_tpu.integrators import common
+        import jax.numpy as jnp
 
-        t_plain = _timed(lambda: common.render(scene, meta, li, spp=spp,
-                                               chunk_size=1 << 16))
+        from goblin_tpu.camera import film as film_mod
+        from goblin_tpu.integrators import common
+        from goblin_tpu.parallel.mesh import make_sharded_render_step
+        from goblin_tpu.parallel.multihost import global_put
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # time PREBUILT steps (the render()/render_sharded wrappers
+        # re-jit per call, which would measure cache lookups, not work)
+        render_pass, _ = common.make_render_pass(scene, meta, li, spp=spp,
+                                                 seed=0, chunk_size=1 << 16)
+        color, weight = film_mod.new_film(meta.camera.film)
+
+        def plain():
+            return render_pass(*film_mod.new_film(meta.camera.film),
+                               jnp.int32(0))
+
+        t_plain = _timed(plain)
+
         mesh1 = make_mesh(1)
-        t_mesh1 = _timed(lambda: render_sharded(scene, meta, li, mesh1,
-                                                spp=spp))
+        from goblin_tpu.parallel.mesh import make_sharded_render_pass
+
+        spass, _ = make_sharded_render_pass(scene, meta, li, mesh1,
+                                            spp=spp, seed=0)
+        rep = NamedSharding(mesh1, P())
+
+        def sharded():
+            c, w = film_mod.new_film(meta.camera.film)
+            c, w = global_put(c, rep), global_put(w, rep)
+            return spass(c, w, jnp.int32(0))
+
+        t_mesh1 = _timed(sharded)
         out.update({
             "mode": "tpu-1chip",
             "unsharded_mrays": round(rays / t_plain / 1e6, 3),
@@ -107,15 +134,14 @@ def main():
             "sharding_overhead": round(t_mesh1 / t_plain, 4),
         })
     else:
-        img1 = None
         mesh1 = make_mesh(1)
         mesh8 = make_mesh(8)
-        t1 = _timed(lambda: render_sharded(scene, meta, li, mesh1, spp=spp),
-                    reps=1)
-        t8 = _timed(lambda: render_sharded(scene, meta, li, mesh8, spp=spp),
-                    reps=1)
-        a = np.asarray(render_sharded(scene, meta, li, mesh1, spp=spp))
-        b = np.asarray(render_sharded(scene, meta, li, mesh8, spp=spp))
+        t1 = _timed(lambda: render_sharded_dense(scene, meta, li, mesh1,
+                                                 spp=spp), reps=1)
+        t8 = _timed(lambda: render_sharded_dense(scene, meta, li, mesh8,
+                                                 spp=spp), reps=1)
+        a = np.asarray(render_sharded_dense(scene, meta, li, mesh1, spp=spp))
+        b = np.asarray(render_sharded_dense(scene, meta, li, mesh8, spp=spp))
         out.update({
             "mode": "cpu-fake-mesh",
             "mesh1_mrays": round(rays / t1 / 1e6, 3),

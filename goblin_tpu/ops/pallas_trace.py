@@ -503,7 +503,7 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray, width: int = 4):
 
 
 def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
-                  width: int = 4):
+                  width: int = 4, bf16_box: bool = False):
     assert max_leaf % 8 == 0 and max_leaf <= 127
 
     def kernel(nb_ref, nm_ref, tris_ref,
@@ -556,22 +556,70 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
             b2_best = jnp.where(hit, b2, b2_best)
             return t_best, tri_best, b1_best, b2_best
 
+        def leaf_group(g, base_k, count, t_best, tri_best, b1_best,
+                       b2_best):
+            """Moller-Trumbore for a whole 8-triangle group as (8, rows,
+            128) tensor ops — no per-triangle scalar extraction, one
+            cross-lane reduce per group (the transpose), and the
+            candidate merge is 8 vector selects."""
+            grow = tris_ref[pl.ds(g, 1), :]
+            blk = _extract_block(grow, 0, 128)  # (128, 1)
+            bm = blk.reshape(8, 16)  # [tri-in-group, component]
+
+            def comp(i):
+                return bm[:, i].reshape(8, 1, 1)
+
+            v0x, v0y, v0z = comp(0), comp(1), comp(2)
+            e1x, e1y, e1z = comp(3), comp(4), comp(5)
+            e2x, e2y, e2z = comp(6), comp(7), comp(8)
+            dxw, dyw, dzw = dx[None], dy[None], dz[None]
+            s1x = dyw * e2z - dzw * e2y
+            s1y = dzw * e2x - dxw * e2z
+            s1z = dxw * e2y - dyw * e2x
+            div = s1x * e1x + s1y * e1y + s1z * e1z
+            inv = 1.0 / jnp.where(div == 0.0, tiny, div)
+            sx = ox[None] - v0x
+            sy = oy[None] - v0y
+            sz = oz[None] - v0z
+            b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
+            s2x = sy * e1z - sz * e1y
+            s2y = sz * e1x - sx * e1z
+            s2z = sx * e1y - sy * e1x
+            b2 = (dxw * s2x + dyw * s2y + dzw * s2z) * inv
+            t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv
+            eps = 1e-7
+            kcol = jax.lax.broadcasted_iota(
+                jnp.int32, (8, 1, 1), 0
+            ) + base_k
+            hit = (
+                (div != 0.0)
+                & (b1 + eps >= 0.0) & (b1 - eps <= 1.0)
+                & (b2 + eps >= 0.0) & (b1 + b2 - eps <= 1.0)
+                & (t >= mint[None]) & (t <= t_best[None])
+                & (kcol < count)
+            )
+            # merge the 8 candidates front-to-... order within the leaf
+            # is arbitrary: keep the smallest t per lane (matches the
+            # sequential loop's monotone tightening)
+            for c in range(8):
+                h = hit[c] & (t[c] <= t_best)
+                t_best = jnp.where(h, t[c], t_best)
+                tri_best = jnp.where(h, first_holder[0] + base_k + c,
+                                     tri_best)
+                b1_best = jnp.where(h, b1[c], b1_best)
+                b2_best = jnp.where(h, b2[c], b2_best)
+            return t_best, tri_best, b1_best, b2_best
+
+        first_holder = [None]
+
         def leaf_tris(first, count, t_best, tri_best, b1_best, b2_best):
+            first_holder[0] = first
             g0 = first // 8
             for gk in range(max_leaf // 8):
-                grow = tris_ref[pl.ds(g0 + gk, 1), :]
-                blk = _extract_block(grow, 0, 128)
-                for k8 in range(8):
-                    k = gk * 8 + k8
-                    toff = k8 * 16
-
-                    def tv(i, _toff=toff):
-                        return blk[_toff + i, 0]
-
-                    t_best, tri_best, b1_best, b2_best = tri_test(
-                        tv, first + k, k, count, t_best, tri_best,
-                        b1_best, b2_best,
-                    )
+                t_best, tri_best, b1_best, b2_best = leaf_group(
+                    g0 + gk, gk * 8, count, t_best, tri_best, b1_best,
+                    b2_best,
+                )
             return t_best, tri_best, b1_best, b2_best
 
         def body(state):
@@ -605,29 +653,58 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
                     tbq = t_best
                     if any_hit:
                         tbq = jnp.where(tri_best < 0, t_best, -BIG_T)
-                    tn_masked = []
-                    for c in range(width):
-                        b0 = c * 8
-                        t0x = (bb[b0 + 0, 0] - ox) * inv_dx
-                        t1x = (bb[b0 + 3, 0] - ox) * inv_dx
-                        t0y = (bb[b0 + 1, 0] - oy) * inv_dy
-                        t1y = (bb[b0 + 4, 0] - oy) * inv_dy
-                        t0z = (bb[b0 + 2, 0] - oz) * inv_dz
-                        t1z = (bb[b0 + 5, 0] - oz) * inv_dz
-                        tn = jnp.maximum(
-                            jnp.maximum(jnp.minimum(t0x, t1x),
-                                        jnp.minimum(t0y, t1y)),
-                            jnp.maximum(jnp.minimum(t0z, t1z), mint),
+                    # ALL children's slab tests as one (width, rows,
+                    # 128) tensor op — the per-child scalar reads of the
+                    # extracted bounds were ~48 vector->scalar moves per
+                    # visit, the traversal's dominant latency
+                    bbs = bb.reshape(width, 8)
+                    bmnx = bbs[:, 0].reshape(width, 1, 1)
+                    bmny = bbs[:, 1].reshape(width, 1, 1)
+                    bmnz = bbs[:, 2].reshape(width, 1, 1)
+                    bmxx = bbs[:, 3].reshape(width, 1, 1)
+                    bmxy = bbs[:, 4].reshape(width, 1, 1)
+                    bmxz = bbs[:, 5].reshape(width, 1, 1)
+                    if bf16_box:
+                        oxw, oyw, ozw = (v[None].astype(jnp.bfloat16)
+                                         for v in (ox, oy, oz))
+                        ixw, iyw, izw = (v[None].astype(jnp.bfloat16)
+                                         for v in (inv_dx, inv_dy, inv_dz))
+                        bmnx, bmny, bmnz, bmxx, bmxy, bmxz = (
+                            v.astype(jnp.bfloat16)
+                            for v in (bmnx, bmny, bmnz, bmxx, bmxy, bmxz)
                         )
-                        tf = jnp.minimum(
-                            jnp.minimum(jnp.maximum(t0x, t1x),
-                                        jnp.maximum(t0y, t1y)),
-                            jnp.minimum(jnp.maximum(t0z, t1z), tbq),
-                        )
-                        tn_masked.append(jnp.where(tn <= tf, tn, BIG_T))
+                    else:
+                        oxw, oyw, ozw = ox[None], oy[None], oz[None]
+                        ixw, iyw, izw = (inv_dx[None], inv_dy[None],
+                                         inv_dz[None])
+                    t0x = (bmnx - oxw) * ixw
+                    t1x = (bmxx - oxw) * ixw
+                    t0y = (bmny - oyw) * iyw
+                    t1y = (bmxy - oyw) * iyw
+                    t0z = (bmnz - ozw) * izw
+                    t1z = (bmxz - ozw) * izw
+                    tn_a = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.minimum(t0z, t1z),
+                    )
+                    tf_a = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.maximum(t0z, t1z),
+                    )
+                    if bf16_box:
+                        # conservative margin for bf16's ~2.5% chain error
+                        tn_a = tn_a.astype(jnp.float32)
+                        tf_a = tf_a.astype(jnp.float32)
+                        tn_a = tn_a - 0.06 * jnp.abs(tn_a)
+                        tf_a = tf_a + 0.06 * jnp.abs(tf_a)
+                    tn_a = jnp.maximum(tn_a, mint[None])
+                    tf_a = jnp.minimum(tf_a, tbq[None])
+                    tn_masked = jnp.where(tn_a <= tf_a, tn_a, BIG_T)
                     # ONE batched reduction for all children
                     mins4 = jnp.min(
-                        jnp.stack(tn_masked).reshape(width, rows * 128),
+                        tn_masked.reshape(width, rows * 128),
                         axis=1, keepdims=True,
                     )  # (width, 1)
                     items = []
@@ -703,7 +780,7 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
 
 
 @partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows", "width",
-                                   "interpret"))
+                                   "bf16_box", "interpret"))
 def trace_packets4(
     nb4, nm4, tris,
     o, d, mint, maxt,
@@ -711,6 +788,7 @@ def trace_packets4(
     any_hit: bool = False,
     rows: int = 32,
     width: int = 4,
+    bf16_box: bool = False,
     interpret: bool = False,
 ):
     """4-wide packet trace. Same contract as trace_packets."""
@@ -726,7 +804,7 @@ def trace_packets4(
         shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
         shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
     ]
-    kernel = _make_kernel4(max_leaf, any_hit, rows, width)
+    kernel = _make_kernel4(max_leaf, any_hit, rows, width, bf16_box)
     ray_spec = pl.BlockSpec((1, rows, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -96,13 +96,14 @@ class SceneMeta:
     # ray-trace backend: "pallas" = TPU packet kernel (ops/pallas_trace),
     # "jnp" = lockstep skip-link traversal (accel/traverse)
     trace_backend: str = "jnp"
-    trace_rows: int = 16  # packet = trace_rows * 128 rays (pallas only)
-    # (rows sweep on bunny with the 4-wide kernel: 11.28 Mrays/s @16,
-    # 11.17 @8, 10.59 @32, 8.75 @64)
+    trace_rows: int = 8  # packet = trace_rows * 128 rays (pallas only)
+    # (rows sweep on bunny, 8-wide kernel + batched leaf groups:
+    # 19.35 Mrays/s @8, 18.57 @16, 13.7 @4)
     trace_ways: int = 1  # stack entries visited per kernel iteration
     trace_compact: bool = False  # stable alive-partition before trace
     trace_aligned: bool = False  # leaf starts 8-aligned (pallas)
     trace_wide: int = 1  # 4 = 4-wide collapsed BVH kernel
+    trace_bf16_box: bool = False  # bf16 slab tests (conservative margin)
     trace_sort: bool = True  # morton-sort wavefronts before packet trace
     world_bounds: tuple = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
 
@@ -197,7 +198,7 @@ class SceneBuilder:
     # -- bake --------------------------------------------------------------
 
     def bake(self, max_leaf: int | None = None, trace_backend: str | None = None,
-             trace_rows: int = 16):
+             trace_rows: int = 8):
         import os
 
         if trace_backend is None:
@@ -215,6 +216,7 @@ class SceneBuilder:
         # 8-wide collapsed BVH is the production traversal (18.65 vs
         # 18.39 wide4 / ~15 binary on bunny); GOBLIN_WIDE in {1,4,8}
         trace_wide = int(os.environ.get("GOBLIN_WIDE", 8))
+        trace_bf16 = os.environ.get("GOBLIN_BF16BOX", "0") == "1"
         tri_v = [np.zeros((0, 3, 3), np.float32)]
         tri_n = [np.zeros((0, 3, 3), np.float32)]
         tri_uv = [np.zeros((0, 3, 2), np.float32)]
@@ -589,6 +591,7 @@ class SceneBuilder:
             trace_compact=trace_compact,
             trace_aligned=trace_backend == "pallas",
             trace_wide=trace_wide,
+            trace_bf16_box=trace_bf16,
             # measured on bunny: morton/octant ray sorting costs more
             # (argsort + 12 gathers) than the packet-coherence it buys at
             # 512x384; off by default, GOBLIN_SORT=1 for huge wavefronts

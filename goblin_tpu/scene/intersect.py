@@ -115,6 +115,7 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
             o, d, mint, maxt,
             max_leaf=meta.max_leaf, any_hit=any_hit, rows=meta.trace_rows,
             width=meta.trace_wide,
+            bf16_box=getattr(meta, "trace_bf16_box", False),
         )
     else:
         hit, t, tri, b1, b2 = trace_packets(
