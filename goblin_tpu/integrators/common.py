@@ -83,7 +83,7 @@ def pixel_samples(seed, pixel_ids, x_res, s_idx, n_grid):
     return x, y
 
 
-def make_render_pass(scene, meta, li_fn, spp, seed, chunk_size=1 << 14):
+def make_render_pass(scene, meta, li_fn, spp, seed, chunk_size=1 << 16):
     """Build the jitted single-pass render fn (one full-frame stratified
     sample per crop pixel -> dense filter splat into the film).
 
@@ -166,7 +166,7 @@ def make_render_pass(scene, meta, li_fn, spp, seed, chunk_size=1 << 14):
     return render_pass, n_spp
 
 
-def render(scene, meta, li_fn, spp=None, seed=None, chunk_size=1 << 14,
+def render(scene, meta, li_fn, spp=None, seed=None, chunk_size=1 << 16,
            report=None):
     """Render with a batched radiance function.
 

@@ -73,10 +73,13 @@ def _env_le(scene, meta, d):
     return envmap.eval_env(scene, meta, d)
 
 
-def make_li(meta, max_depth=None, with_stats=False):
+def make_li(meta, max_depth=None, with_stats=False, unroll=False):
     """Build the batched radiance fn. with_stats=True returns
     (L, (active_per_bounce, cont_per_bounce)) so callers (bench.py) can
-    report useful-ray counts alongside hardware-lane throughput."""
+    report useful-ray counts alongside hardware-lane throughput.
+    unroll=True replaces the lax.scan bounce loop with a Python loop
+    (identical math; lets eager-mode instrumentation like
+    bench_trace.capture_wavefronts observe per-bounce arrays)."""
     if max_depth is None:
         max_depth = int(meta.settings.get("max_ray_depth", 5))
     from .common import spp_grid, stratified_1d, stratified_2d
@@ -162,6 +165,7 @@ def make_li(meta, max_depth=None, with_stats=False):
                 scene, meta, p, ls["wi"],
                 jnp.where(consider, eps, scn.BIG_T),
                 jnp.where(consider, ls["shadow_maxt"], 0.0),
+                sort="octant" if getattr(meta, "trace_sort_bounce", True) else None,
             )
             vis = consider & ~occ
             bsdf_pdf_l = bx.bsdf_pdf(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
@@ -196,6 +200,7 @@ def make_li(meta, max_depth=None, with_stats=False):
                     scene, meta, p, wi,
                     jnp.where(cont_ok, eps, scn.BIG_T),
                     jnp.where(cont_ok, 3.0e37, 0.0),
+                    sort="octant" if getattr(meta, "trace_sort_bounce", True) else None,
                 )
             else:
                 # final bounce of an all-delta-light scene: the
@@ -284,7 +289,19 @@ def make_li(meta, max_depth=None, with_stats=False):
             getattr(meta, "all_delta_lights", False) and max_depth >= 2
         )
         n_scan = max_depth - 2 if skip_last else max_depth - 1
-        state, ys = jax.lax.scan(bounce_body, init, jnp.arange(n_scan))
+        if unroll:
+            ys_list = []
+            state = init
+            for b in range(n_scan):
+                state, y = bounce_body(state, jnp.int32(b))
+                ys_list.append(y)
+            ys = (
+                tuple(jnp.stack(v) for v in zip(*ys_list))
+                if with_stats and ys_list else
+                (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32))
+            )
+        else:
+            state, ys = jax.lax.scan(bounce_body, init, jnp.arange(n_scan))
         if skip_last:
             state, ys_last = bounce_body(
                 state, jnp.int32(max_depth - 2), trace_cont=False

@@ -503,7 +503,7 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray, width: int = 4):
 
 
 def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
-                  width: int = 4, bf16_box: bool = False):
+                  width: int = 4, bf16_box: bool = False, ways: int = 1):
     assert max_leaf % 8 == 0 and max_leaf <= 127
 
     def kernel(nb_ref, nm_ref, tris_ref,
@@ -622,12 +622,9 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
                 )
             return t_best, tri_best, b1_best, b2_best
 
-        def body(state):
-            sp, max_t, t_best, tri_best, b1_best, b2_best = state
-            e = stack_ref[sp - 1]
-            entry_tn = tn_stack_ref[sp - 1]
-            sp = sp - 1
-            live = entry_tn <= max_t
+        def step_one(e, entry_tn, state):
+            """Visit one popped stack entry (sp already adjusted)."""
+            live = entry_tn <= state[1]
 
             def visit(args):
                 sp, max_t, t_best, tri_best, b1_best, b2_best = args
@@ -694,11 +691,24 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
                         jnp.maximum(t0z, t1z),
                     )
                     if bf16_box:
-                        # conservative margin for bf16's ~2.5% chain error
+                        # conservative margin. bf16 rounding happens on
+                        # the OPERANDS (bmin-o)*inv, so the error scales
+                        # with the slab-t magnitudes, not with tn/tf —
+                        # a ray origin near a box face (tn~0, large
+                        # coords) still carries operand-sized error
+                        # (ADVICE r4). Widen by the largest |t| seen on
+                        # any axis.
                         tn_a = tn_a.astype(jnp.float32)
                         tf_a = tf_a.astype(jnp.float32)
-                        tn_a = tn_a - 0.06 * jnp.abs(tn_a)
-                        tf_a = tf_a + 0.06 * jnp.abs(tf_a)
+                        tmag = jnp.maximum(
+                            jnp.maximum(jnp.abs(t0x), jnp.abs(t1x)),
+                            jnp.maximum(
+                                jnp.maximum(jnp.abs(t0y), jnp.abs(t1y)),
+                                jnp.maximum(jnp.abs(t0z), jnp.abs(t1z)),
+                            ),
+                        ).astype(jnp.float32)
+                        tn_a = tn_a - 0.06 * tmag
+                        tf_a = tf_a + 0.06 * tmag
                     tn_a = jnp.maximum(tn_a, mint[None])
                     tf_a = jnp.minimum(tf_a, tbq[None])
                     tn_masked = jnp.where(tn_a <= tf_a, tn_a, BIG_T)
@@ -751,8 +761,38 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
 
                 return jax.lax.cond(is_inner, do_inner, do_leaf, args)
 
-            state = (sp, max_t, t_best, tri_best, b1_best, b2_best)
             return jax.lax.cond(live, visit, lambda a: a, state)
+
+        def body(state):
+            sp = state[0]
+            e_a = stack_ref[sp - 1]
+            tn_a = tn_stack_ref[sp - 1]
+            if ways == 2:
+                # superscalar pop (ported from the binary kernel,
+                # measured win there): visit TWO stack entries per
+                # iteration — their scalar fetch/extract/reduce chains
+                # are independent, so the compiler overlaps them, hiding
+                # the per-visit scalar sync latency the traversal is
+                # bound by. B uses A's (stale) max_t — conservative,
+                # still correct; A's pushes land above where B sat, so
+                # the pops don't collide.
+                has_b = sp >= 2
+                idx_b = jnp.maximum(sp - 2, 0)
+                e_b = stack_ref[idx_b]
+                tn_b = tn_stack_ref[idx_b]
+                sp = sp - 1 - has_b.astype(jnp.int32)
+                state = (sp,) + state[1:]
+                state = step_one(e_a, tn_a, state)
+                state = jax.lax.cond(
+                    has_b,
+                    lambda s: step_one(e_b, tn_b, s),
+                    lambda s: s,
+                    state,
+                )
+            else:
+                state = (sp - 1,) + state[1:]
+                state = step_one(e_a, tn_a, state)
+            return state
 
         def cond(state):
             sp = state[0]
@@ -780,7 +820,7 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
 
 
 @partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows", "width",
-                                   "bf16_box", "interpret"))
+                                   "bf16_box", "ways", "interpret"))
 def trace_packets4(
     nb4, nm4, tris,
     o, d, mint, maxt,
@@ -789,6 +829,7 @@ def trace_packets4(
     rows: int = 32,
     width: int = 4,
     bf16_box: bool = False,
+    ways: int = 1,
     interpret: bool = False,
 ):
     """4-wide packet trace. Same contract as trace_packets."""
@@ -804,7 +845,7 @@ def trace_packets4(
         shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
         shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
     ]
-    kernel = _make_kernel4(max_leaf, any_hit, rows, width, bf16_box)
+    kernel = _make_kernel4(max_leaf, any_hit, rows, width, bf16_box, ways)
     ray_spec = pl.BlockSpec((1, rows, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)

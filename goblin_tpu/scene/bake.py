@@ -92,6 +92,9 @@ class SceneMeta:
     # there is no env: a BSDF ray can never hit a light, so the LAST
     # bounce's continuation trace has zero contribution (PT skips it)
     all_delta_lights: bool = False
+    # material kinds present in the scene (Whitted prunes its static
+    # specular ray tree with this)
+    material_kinds: tuple = ()
     output_path: str = "goblin.exr"
     # ray-trace backend: "pallas" = TPU packet kernel (ops/pallas_trace),
     # "jnp" = lockstep skip-link traversal (accel/traverse)
@@ -105,6 +108,12 @@ class SceneMeta:
     trace_wide: int = 1  # 4 = 4-wide collapsed BVH kernel
     trace_bf16_box: bool = False  # bf16 slab tests (conservative margin)
     trace_sort: bool = True  # morton-sort wavefronts before packet trace
+    # reorder BOUNCE wavefronts (dead-compacting octant counting-sort).
+    # Measured OFF: packing live lanes densely pulls rays from ~3x more
+    # screen area into each packet, growing the per-packet BVH node
+    # union — coherence beats occupancy for packet traversal (19.3
+    # unsorted vs 12.1 octant-partitioned vs 13.3 full-morton on bunny).
+    trace_sort_bounce: bool = False
     world_bounds: tuple = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
 
 
@@ -210,6 +219,17 @@ class SceneBuilder:
             # (10.6@leaf32 vs 10.3@16, 10.2@64 Mrays/s at rows=32)
             max_leaf = 32 if trace_backend == "pallas" else 4
             max_leaf = int(os.environ.get("GOBLIN_MAX_LEAF", max_leaf))
+        if trace_backend == "pallas" and max_leaf % 8 != 0:
+            # the packet kernel's aligned leaf extraction requires
+            # max_leaf % 8 == 0; failing later at trace time with the
+            # kernel assert is an opaque crash for a documented knob
+            # (ADVICE r4) — round up with a clear message instead
+            rounded = ((max_leaf + 7) // 8) * 8
+            print(
+                f"[bake] max_leaf={max_leaf} rounded up to {rounded}: "
+                "the pallas packet kernel needs max_leaf % 8 == 0"
+            )
+            max_leaf = rounded
         trace_rows = int(os.environ.get("GOBLIN_ROWS", trace_rows))
         trace_ways = int(os.environ.get("GOBLIN_WAYS", 1))
         trace_compact = os.environ.get("GOBLIN_COMPACT", "0") == "1"
@@ -584,6 +604,7 @@ class SceneBuilder:
                 self.env_light_id < 0
                 and all(t in (0, 1, 2) for t in self.lights.types)
             ),
+            material_kinds=tuple(sorted({m.kind for m in self.materials})),
             output_path=self.output_path,
             trace_backend=trace_backend,
             trace_rows=trace_rows,
@@ -596,6 +617,8 @@ class SceneBuilder:
             # (argsort + 12 gathers) than the packet-coherence it buys at
             # 512x384; off by default, GOBLIN_SORT=1 for huge wavefronts
             trace_sort=os.environ.get("GOBLIN_SORT", "0") == "1",
+            trace_sort_bounce=os.environ.get("GOBLIN_SORT_BOUNCE", "0")
+            == "1",
             world_bounds=(tuple(float(v) for v in bmin),
                           tuple(float(v) for v in bmax)),
         )

@@ -54,7 +54,38 @@ def _morton_key(o, d, mint, maxt, bmin, inv_ext):
     return (dead << 24) | (octant << 18) | morton
 
 
-def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
+def _octant_partition(d, mint, maxt):
+    """Stable counting-sort permutation over a 4-bit key (dead flag on
+    top of the direction octant). Bounce wavefronts keep their screen-
+    tile origin coherence (the partition is stable) while gaining the
+    per-packet traversal-order coherence the packet kernel needs (child
+    visit order is a per-packet scalar decision) AND compacting masked-
+    dead lanes into whole packets that retire at the root box test.
+    O(16R) cumsum work — no argsort (whose bitonic cost was measured to
+    eat the kernel-side win in production)."""
+    octant = (
+        (d[..., 0] < 0).astype(jnp.int32)
+        | ((d[..., 1] < 0).astype(jnp.int32) << 1)
+        | ((d[..., 2] < 0).astype(jnp.int32) << 2)
+    )
+    dead = (maxt <= mint).astype(jnp.int32)
+    key = (dead << 3) | octant  # [0, 16)
+    R = key.shape[0]
+    onehot = (key[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :])
+    ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0)  # rank+1 in bucket
+    totals = ranks[-1]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(totals)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.take_along_axis(ranks, key[:, None], axis=1)[:, 0] - 1
+    pos = offsets[key] + rank
+    return jnp.zeros((R,), jnp.int32).at[pos].set(
+        jnp.arange(R, dtype=jnp.int32)
+    )
+
+
+def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False,
+               sort=None):
     """BVH trace over the wavefront, dispatched by meta.trace_backend.
 
     pallas: the VMEM packet kernel (ops/pallas_trace.trace_packets) —
@@ -65,6 +96,14 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
     retire at the root (the wavefront-compaction analogue — SURVEY §2.9).
     jnp: the lockstep skip-link traversal. Both replace the reference's
     per-thread stack walk (src/GoblinBVH.cpp:156-280).
+
+    sort: per-call override of meta.trace_sort. Camera rays arrive in
+    screen-tile order (already packet-coherent — sorting them costs more
+    than it buys); bounce/shadow wavefronts are incoherent AND carry
+    masked-dead lanes, so the Morton+octant sort (dead flag on top) both
+    re-coheres packets and compacts dead lanes into whole packets that
+    retire at the root box test (+27% measured on bounce rays, VERDICT
+    r4).
     """
     if meta.trace_backend != "pallas" or "pk_nodes" not in scene:
         return trace(
@@ -76,7 +115,12 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
     R = o.shape[0]
     packet = meta.trace_rows * 128
     order = None
-    if meta.trace_sort and R > packet:
+    if sort is None:
+        sort = meta.trace_sort
+    if sort == "octant" and R > packet:
+        order = _octant_partition(d, mint, maxt)
+        o, d, mint, maxt = (v[order] for v in (o, d, mint, maxt))
+    elif sort and R > packet:
         bmin, bmax = meta.world_bounds
         bmin = jnp.asarray(bmin, jnp.float32)
         inv_ext = 1.0 / jnp.maximum(
@@ -116,6 +160,7 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False):
             max_leaf=meta.max_leaf, any_hit=any_hit, rows=meta.trace_rows,
             width=meta.trace_wide,
             bf16_box=getattr(meta, "trace_bf16_box", False),
+            ways=getattr(meta, "trace_ways", 1),
         )
     else:
         hit, t, tri, b1, b2 = trace_packets(
@@ -171,7 +216,8 @@ def _sphere_pass(scene, o, d, mint, cur_t):
     return best, best_t
 
 
-def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
+def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None,
+              sort=None):
     """Closest-hit over the whole scene. Returns the fragment dict.
 
     dxd/dyd: optional (R,3) camera ray-differential directions (same
@@ -192,6 +238,7 @@ def intersect(scene, meta: SceneMeta, o, d, mint, maxt, dxd=None, dyd=None):
         jax.lax.stop_gradient(scene), meta,
         jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
         jax.lax.stop_gradient(mint), jax.lax.stop_gradient(maxt),
+        sort=sort,
     )
     t = res.t
     tri = res.tri
@@ -533,7 +580,7 @@ def _perturb(scene, meta: SceneMeta, frag):
 
 
 def occluded_attenuated(scene, meta: SceneMeta, o, d, mint, maxt,
-                        max_punch: int = 4):
+                        max_punch: int = 4, sort=None):
     """Shadow query with index-matched (BSDF_NULL) punch-through that
     does NOT consume path depth: null-capable surfaces (mask materials)
     never occlude — they attenuate by their null lobe (1-alpha) *
@@ -544,7 +591,7 @@ def occluded_attenuated(scene, meta: SceneMeta, o, d, mint, maxt,
     path (statically, zero extra cost); max_punch bounds the number of
     stacked null surfaces traversed (reference loops unboundedly)."""
     if not getattr(meta, "has_null", False):
-        return occluded(scene, meta, o, d, mint, maxt), jnp.ones(
+        return occluded(scene, meta, o, d, mint, maxt, sort=sort), jnp.ones(
             o.shape[:-1] + (3,), jnp.float32
         )
     from ..integrators.materials import gather_material
@@ -559,6 +606,7 @@ def occluded_attenuated(scene, meta: SceneMeta, o, d, mint, maxt,
             scene, meta, o, d,
             jnp.where(done, BIG_T, cur_mint),
             jnp.where(done, 0.0, maxt),
+            sort=sort,
         )
         hit = frag["hit"] & ~done
         is_mask = jnp.take(scene["mat_type"], frag["mat"]) == MAT_MASK
@@ -582,13 +630,14 @@ def occluded_attenuated(scene, meta: SceneMeta, o, d, mint, maxt,
     return occ, tr
 
 
-def occluded(scene, meta: SceneMeta, o, d, mint, maxt):
+def occluded(scene, meta: SceneMeta, o, d, mint, maxt, sort=None):
     """Any-hit shadow query over triangles + spheres. Visibility is a
     discrete decision: inputs are detached so the traversal while_loop
     never sits on the differentiation path."""
     o, d, mint, maxt = (jax.lax.stop_gradient(v) for v in (o, d, mint, maxt))
     occ = trace_rays(
-        jax.lax.stop_gradient(scene), meta, o, d, mint, maxt, any_hit=True
+        jax.lax.stop_gradient(scene), meta, o, d, mint, maxt, any_hit=True,
+        sort=sort,
     ).hit
     if meta.n_spheres > 0:
         sph_id, _ = _sphere_pass(scene, o, d, mint, maxt)

@@ -50,6 +50,7 @@ from ..shading.textures import (
     FILTER_EWA,
     FILTER_NEAREST,
     FILTER_TRILINEAR,
+    MAP_SPHERICAL,
     TEX_CHECKERBOARD,
     TEX_CONSTANT,
     TEX_IMAGE,
@@ -237,6 +238,19 @@ def load_scene(path: str, overrides: dict | None = None):
         mapping = p.get_string("mapping", "uv")
         ms = p.get_vec2("scale", (1.0, 1.0)) if kind != "scale" else (1.0, 1.0)
         mo = p.get_vec2("offset", (0.0, 0.0))
+        # spherical mapping: toTex transform built from the texture's own
+        # position/orientation/scale params and applied FORWARD to the
+        # world-space hit point (reference getTextureMapping +
+        # SphericalMapping::pointToST, src/GoblinTexture.cpp:600-613,
+        # 339-347). Applies to checkerboard AND image textures.
+        map_kw = {}
+        if mapping == "spherical":
+            map_kw = {
+                "mapping": MAP_SPHERICAL,
+                "world_to_tex": get_transform(p),
+            }
+        elif mapping != "uv":
+            print(f"[loader] undefined mapping type {mapping}")
         table = color_tex if fmt == "color" else float_tex
         add = (
             builder.add_color_texture if fmt == "color" else builder.add_float_texture
@@ -258,6 +272,7 @@ def load_scene(path: str, overrides: dict | None = None):
                     map_scale=(float(ms[0]), float(ms[1])),
                     map_offset=(float(mo[0]), float(mo[1])),
                     checker_filter=p.get_bool("filter", False),
+                    **map_kw,
                 )
             )
         elif kind == "scale":
@@ -276,6 +291,28 @@ def load_scene(path: str, overrides: dict | None = None):
             except Exception as e:  # error fallback: 1x1 magenta
                 print(f"[loader] failed to load image {fpath}: {e}")
                 img = np.full((1, 1, 3), [1.0, 0.0, 1.0], np.float32)
+            # channel selection at load time (reference convertTexel,
+            # src/GoblinTexture.cpp:486-518): R/G/B/A replicate that
+            # channel; float-format "All" takes Rec.709 luminance; a
+            # missing alpha channel reads as 1 (EXR default)
+            channel = p.get_string("channel", "All")
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if channel in ("R", "G", "B"):
+                c = {"R": 0, "G": 1, "B": 2}[channel]
+                c = min(c, img.shape[2] - 1)
+                img = np.repeat(img[:, :, c:c + 1], 3, axis=2)
+            elif channel == "A":
+                a = (img[:, :, 3:4] if img.shape[2] >= 4
+                     else np.ones_like(img[:, :, :1]))
+                img = np.repeat(a, 3, axis=2)
+            elif channel != "All":
+                print(f"[loader] unrecognized channel {channel}")
+            elif fmt == "float" and img.shape[2] >= 3:
+                lum = (0.212671 * img[:, :, 0:1]
+                       + 0.715160 * img[:, :, 1:2]
+                       + 0.072169 * img[:, :, 2:3])
+                img = np.repeat(lum.astype(np.float32), 3, axis=2)
             filt = {
                 "nearest": FILTER_NEAREST,
                 "bilinear": FILTER_BILINEAR,
@@ -297,6 +334,7 @@ def load_scene(path: str, overrides: dict | None = None):
                     max_anisotropy=p.get_float("max_anisotropy", 10.0),
                     map_scale=(float(ms[0]), float(ms[1])),
                     map_offset=(float(mo[0]), float(mo[1])),
+                    **map_kw,
                 )
             )
         else:

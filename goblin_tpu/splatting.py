@@ -253,9 +253,13 @@ def light_trace_s1_contributions(scene, meta, path_ids, s_idx, seed,
     p_light, n_light = em["p"], em["n"]
     l_tp = 1.0 / jnp.maximum(em["pdf_pos"] * pick_pdf, 1e-20)
 
-    # camera start: random film position
-    px = hash_uniform(seed, path_ids, s_idx, 0x7FFD, 0) * spec.x_res
-    py = hash_uniform(seed, path_ids, s_idx, 0x7FFD, 1) * spec.y_res
+    # camera start: random film position WITHIN THE CROP WINDOW — t1/t0
+    # and the driver's path-count normalization are both based on
+    # spp * crop pixel count, so s1 paths landing outside the crop would
+    # misweight the estimate (ADVICE r4)
+    xs_, xc, ys_, yc = spec.crop_window()
+    px = xs_ + hash_uniform(seed, path_ids, s_idx, 0x7FFD, 0) * xc
+    py = ys_ + hash_uniform(seed, path_ids, s_idx, 0x7FFD, 1) * yc
     lu = hash_uniform(seed, path_ids, s_idx, 0x7FFE, 0)
     lv = hash_uniform(seed, path_ids, s_idx, 0x7FFE, 1)
     p_cam, n_cam, pdf_cam = cam.sample_position(lu, lv)

@@ -120,3 +120,68 @@ def test_packet_trace_aligned_leaves():
     # same hit distances (tri ids are in different orderings)
     np.testing.assert_allclose(np.asarray(a[1])[ha], np.asarray(b[1])[ha],
                                rtol=1e-5)
+
+
+def test_wide_kernel_parity_production_default():
+    """ADVICE r4: the production-default traversal (collapse4 +
+    trace_packets4 at widths 4 AND 8, aligned leaves, both any_hit
+    settings, ways 1 and 2) had no committed test — only the binary
+    kernel was covered. Interpret-mode parity vs the binary kernel."""
+    from goblin_tpu.accel.bvh import align_leaves
+    from goblin_tpu.ops.pallas_trace import collapse4, trace_packets4
+
+    rng = np.random.default_rng(3)
+    n_tri = 600
+    p0 = (rng.uniform(-1, 1, (n_tri, 3)) * 3).astype(np.float32)
+    p1 = p0 + rng.normal(size=(n_tri, 3)).astype(np.float32) * 0.4
+    p2 = p0 + rng.normal(size=(n_tri, 3)).astype(np.float32) * 0.4
+    bvh = build_bvh(p0, p1, p2, max_leaf=8)
+    bvh = align_leaves(bvh, align=8)
+    ordr = bvh.order
+    safe = np.where(ordr < 0, 0, ordr)
+    soup = np.concatenate(
+        [p0[safe], p1[safe] - p0[safe], p2[safe] - p0[safe]], axis=-1
+    ).astype(np.float32)
+    soup[ordr < 0] = 0.0
+    packed = pack_scene(bvh.bounds, bvh.meta, soup)
+    n_rays = 1024
+    o = (rng.uniform(-1, 1, (n_rays, 3)) * 6).astype(np.float32)
+    tgt = rng.normal(size=(n_rays, 3)).astype(np.float32) * 1.5
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    mint = np.full(n_rays, 1e-4, np.float32)
+    maxt = np.full(n_rays, 1e30, np.float32)
+    ref_hit, ref_t, ref_tri, _, _ = trace_packets(
+        jnp.asarray(packed["nodes"]), jnp.asarray(packed["meta"]),
+        jnp.asarray(packed["tris"]),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(mint),
+        jnp.asarray(maxt), max_leaf=8, aligned=True, interpret=True,
+    )
+    ref_hit, ref_t, ref_tri = (np.asarray(v) for v in
+                               (ref_hit, ref_t, ref_tri))
+    assert ref_hit.sum() > 100
+    for width in (4, 8):
+        nb4, nm4 = collapse4(bvh.bounds, bvh.meta, width=width)
+        for ways in (1, 2):
+            hit, t, tri, _, _ = trace_packets4(
+                jnp.asarray(nb4), jnp.asarray(nm4),
+                jnp.asarray(packed["tris"]),
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(mint),
+                jnp.asarray(maxt), max_leaf=8, rows=8, width=width,
+                ways=ways, interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(hit), ref_hit,
+                                          err_msg=f"w{width} ways{ways}")
+            h = ref_hit
+            np.testing.assert_allclose(np.asarray(t)[h], ref_t[h],
+                                       rtol=1e-4)
+            assert (np.asarray(tri)[h] == ref_tri[h]).mean() > 0.99
+            # any-hit occlusion agrees with closest-hit's hit mask
+            ahit, _, _, _, _ = trace_packets4(
+                jnp.asarray(nb4), jnp.asarray(nm4),
+                jnp.asarray(packed["tris"]),
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(mint),
+                jnp.asarray(maxt), max_leaf=8, rows=8, width=width,
+                ways=ways, any_hit=True, interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(ahit), ref_hit)

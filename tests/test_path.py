@@ -227,3 +227,63 @@ def test_whitted_area_light_sample_num_matches_pt(tmp_path):
     err4 = np.mean((wh4 - ref) ** 2)
     err1 = np.mean((wh1 - ref) ** 2)
     assert err4 < err1
+
+
+def test_whitted_tree_vs_stochastic_glass(tmp_path):
+    """The deterministic reflect+refract ray tree (reference
+    GoblinWhitted.cpp:33-38) vs the stochastic one-branch fallback on a
+    glass sphere: at 1 spp the tree is noise-free on specular pixels
+    (same estimator as the reference), while Fresnel-picking one branch
+    visibly differs sample-to-sample. Both must agree when converged."""
+    import os as _os
+
+    mats = [
+        {"name": "diffuse", "type": "lambert", "Kd": "grey"},
+        {"name": "glass", "type": "transparent", "Kr": "grey",
+         "Kt": "grey", "index": 1.5},
+    ]
+    prims = [
+        {"type": "model", "name": "floor_m", "geometry": "floor",
+         "material": "diffuse"},
+        {"type": "instance", "name": "floor_i", "model": "floor_m",
+         "scale": [50, 50, 50]},
+        {"type": "model", "name": "ball_m", "geometry": "ball",
+         "material": "glass"},
+        {"type": "instance", "name": "ball_i", "model": "ball_m",
+         "position": [0, 0.7, 0]},
+    ]
+    path = _scene(str(tmp_path), [{
+        "name": "key", "type": "point", "intensity": [30, 30, 30],
+        "position": [1.5, 4.0, 0.5],
+    }], materials=mats, primitives=prims, res=(24, 24), depth=3)
+    # register the sphere geometry in the written json
+    with open(path) as f:
+        doc = json.load(f)
+    doc["geometries"].append(
+        {"name": "ball", "type": "sphere", "radius": 0.5})
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+    def render_with(tree, spp, seed=0):
+        _os.environ["GOBLIN_WHITTED_TREE"] = "1" if tree else "0"
+        try:
+            scene, meta = load_scene(path)
+            return np.asarray(common.render(
+                scene, meta, make_whitted(meta), spp=spp, seed=seed,
+                chunk_size=576))
+        finally:
+            _os.environ.pop("GOBLIN_WHITTED_TREE", None)
+
+    ref = render_with(True, 64)
+    tree1 = render_with(True, 1, seed=5)
+    sto1 = render_with(False, 1, seed=5)
+    # the glass pixels: where the two 1-spp estimators disagree at all
+    diff_ts = np.abs(tree1 - sto1).max()
+    assert diff_ts > 1e-3, "one-branch sampling should visibly differ"
+    err_tree = np.abs(tree1 - ref).mean()
+    err_sto = np.abs(sto1 - ref).mean()
+    # deterministic tree at 1 spp is strictly closer to converged
+    assert err_tree < 0.7 * err_sto, (err_tree, err_sto)
+    # and both estimators agree when converged
+    sto64 = render_with(False, 64)
+    np.testing.assert_allclose(sto64.mean(), ref.mean(), rtol=0.05)

@@ -218,3 +218,84 @@ def test_checker_filter_activates_from_duv(tmp_path):
     narrow = np.asarray(ts.eval_all(uv, duv=jnp.full((1, 2), 1e-5),
                                     const=scene["tex_const"]))[3, 0, 0]
     assert narrow in (0.0, 1.0) or abs(narrow - round(narrow)) < 0.05
+
+
+def test_loader_spherical_mapping(tmp_path):
+    """`mapping: spherical` through the JSON API (reference
+    getTextureMapping + SphericalMapping, src/GoblinTexture.cpp:600-613,
+    339-347): the image lookup must key on the spherical coords of the
+    world hit position, ignoring the mesh uv."""
+    n = 64
+    # s-ramp image: value = column/n  -> lookup returns ~s = phi/2pi
+    ramp = np.broadcast_to(
+        ((np.arange(n, dtype=np.float32) + 0.5) / n)[None, :, None],
+        (n, n, 3),
+    ).copy()
+    textures = WHITE + [
+        {"format": "color", "name": "sph", "type": "image",
+         "file": "ramp.exr", "filter": "bilinear", "mapping": "spherical"},
+    ]
+    mats = [{"name": "mat", "type": "lambert", "Kd": "sph"}]
+    scene, meta = _plane_scene(str(tmp_path), mats, textures,
+                               extra_files={"ramp.exr": ramp})
+    from goblin_tpu.shading.textures import MAP_SPHERICAL
+
+    specs = meta.texture_system.specs
+    assert any(s.mapping == MAP_SPHERICAL for s in specs), \
+        "loader dropped mapping: spherical"
+    # evaluate at world points of known phi: p=(1,0,1e-3) -> phi=0 ->
+    # s~0; p=(-1,0,1e-3)... use arbitrary uv to prove it is ignored
+    # (phi=0 sits on the bilinear repeat-wrap seam of the ramp; probe
+    # interior angles)
+    pts = np.asarray([[1.0, 1.0, 1e-3], [0.0, 1.0, 1e-3],
+                      [-1.0, 0.0, 1e-3]], np.float32)
+    exp_phi = np.asarray([np.pi / 4, np.pi / 2, np.pi]) / (2 * np.pi)
+    uv = jnp.asarray(np.full((3, 2), 0.77, np.float32))
+    stack = meta.texture_system.eval_all(
+        uv, atlas=scene["tex_atlas"], const=scene["tex_const"],
+        p=jnp.asarray(pts),
+    )
+    sph_id = [i for i, s in enumerate(specs)
+              if s.mapping == MAP_SPHERICAL][0]
+    got = np.asarray(stack)[sph_id, :, 0]
+    np.testing.assert_allclose(got, exp_phi, atol=1.5 / n)
+
+
+def test_loader_channel_selection(tmp_path):
+    """image `channel` key (reference convertTexel,
+    src/GoblinTexture.cpp:486-518): R/G/B replicate one channel, A with
+    no alpha present reads 1, float-format All takes luminance."""
+    img = np.zeros((4, 4, 3), np.float32)
+    img[..., 0] = 0.2
+    img[..., 1] = 0.5
+    img[..., 2] = 0.8
+    textures = WHITE + [
+        {"format": "color", "name": f"ch{c}", "type": "image",
+         "file": "rgb.exr", "filter": "nearest", "channel": c}
+        for c in ("R", "G", "B", "A")
+    ] + [
+        {"format": "float", "name": "lum", "type": "image",
+         "file": "rgb.exr", "filter": "nearest"},
+    ]
+    mats = [{"name": "mat", "type": "lambert", "Kd": "chR"}]
+    scene, meta = _plane_scene(str(tmp_path), mats, textures,
+                               extra_files={"rgb.exr": img})
+    uv = jnp.asarray([[0.5, 0.5]])
+    stack = np.asarray(meta.texture_system.eval_all(
+        uv, atlas=scene["tex_atlas"], const=scene["tex_const"]))
+    # color textures 1..4 are chR..chA (0 is error magenta, then WHITE)
+    by_name = {}
+    for i, s in enumerate(meta.texture_system.specs):
+        if s.kind == TEX_IMAGE:
+            by_name[len(by_name)] = i
+    vals = {i: stack[by_name[i], 0] for i in range(4)}
+    np.testing.assert_allclose(vals[0], 0.2, atol=1e-5)  # R
+    np.testing.assert_allclose(vals[1], 0.5, atol=1e-5)  # G
+    np.testing.assert_allclose(vals[2], 0.8, atol=1e-5)  # B
+    np.testing.assert_allclose(vals[3], 1.0, atol=1e-5)  # A (absent -> 1)
+    fstack = np.asarray(meta.float_texture_system.eval_all(
+        uv, atlas=scene["ftex_atlas"], const=scene["ftex_const"]))
+    fimg = [i for i, s in enumerate(meta.float_texture_system.specs)
+            if s.kind == TEX_IMAGE][0]
+    lum = 0.212671 * 0.2 + 0.715160 * 0.5 + 0.072169 * 0.8
+    np.testing.assert_allclose(fstack[fimg, 0, 0], lum, atol=1e-4)
