@@ -503,14 +503,21 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray, width: int = 4):
 
 
 def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
-                  width: int = 4, bf16_box: bool = False, ways: int = 1):
+                  width: int = 4, bf16_box: bool = False, ways: int = 1,
+                  stats: bool = False, dyn_leaf: bool = False,
+                  cull: bool = True, sort_children: bool = True):
     assert max_leaf % 8 == 0 and max_leaf <= 127
 
     def kernel(nb_ref, nm_ref, tris_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref,
                t_ref, tri_ref, b1_ref, b2_ref,
-               stack_ref, tn_stack_ref):
+               *stats_and_scratch):
+        if stats:
+            stats_ref, stack_ref, tn_stack_ref = stats_and_scratch
+        else:
+            stack_ref, tn_stack_ref = stats_and_scratch
+            stats_ref = None
         ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
         dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
         mint = mint_ref[0]
@@ -615,6 +622,20 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
         def leaf_tris(first, count, t_best, tri_best, b1_best, b2_best):
             first_holder[0] = first
             g0 = first // 8
+            if dyn_leaf:
+                # dynamic trip count: only the leaf's actual ceil(count/8)
+                # 8-triangle groups are tested. The static unroll paid the
+                # full max_leaf//8 groups of (8, rows, 128) vector work on
+                # every leaf visit — at bunny's mean fill of ~23/32 that
+                # is ~26% wasted lanes, and leaf visits dominate bounce
+                # traces (visit census, tools/trace_profile.py).
+                def gbody(gk, carry):
+                    return leaf_group(g0 + gk, gk * 8, count, *carry)
+
+                return jax.lax.fori_loop(
+                    0, (count + 7) // 8, gbody,
+                    (t_best, tri_best, b1_best, b2_best),
+                )
             for gk in range(max_leaf // 8):
                 t_best, tri_best, b1_best, b2_best = leaf_group(
                     g0 + gk, gk * 8, count, t_best, tri_best, b1_best,
@@ -624,25 +645,32 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
 
         def step_one(e, entry_tn, state):
             """Visit one popped stack entry (sp already adjusted)."""
-            live = entry_tn <= state[1]
+            live = (entry_tn <= state[1]) if cull else None
 
             def visit(args):
-                sp, max_t, t_best, tri_best, b1_best, b2_best = args
                 is_inner = e >= 0
 
                 def do_leaf(args):
-                    sp, max_t, t_best, tri_best, b1_best, b2_best = args
+                    sp, max_t, t_best, tri_best, b1_best, b2_best = args[:6]
+                    extra = args[6:]
+                    if stats:
+                        extra = (extra[0], extra[1] + 1) + extra[2:]
                     dec = -(e + 1)
                     count = dec & 127
                     first = (dec >> 7) * 8
                     t_best, tri_best, b1_best, b2_best = leaf_tris(
                         first, count, t_best, tri_best, b1_best, b2_best
                     )
-                    max_t = jnp.max(t_best)
-                    return sp, max_t, t_best, tri_best, b1_best, b2_best
+                    if cull:
+                        max_t = jnp.max(t_best)
+                    return (sp, max_t, t_best, tri_best, b1_best,
+                            b2_best) + extra
 
                 def do_inner(args):
-                    sp, max_t, t_best, tri_best, b1_best, b2_best = args
+                    sp, max_t, t_best, tri_best, b1_best, b2_best = args[:6]
+                    extra = args[6:]
+                    if stats:
+                        extra = (extra[0] + 1,) + extra[1:]
                     brow = nb_ref[pl.ds(e, 1), :]
                     mrow = nm_ref[pl.ds(e, 1), :]
                     bb = _extract_block(brow, 0, width * 8)
@@ -717,19 +745,26 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
                         tn_masked.reshape(width, rows * 128),
                         axis=1, keepdims=True,
                     )  # (width, 1)
-                    items = []
-                    for c in range(width):
-                        f0 = mm[c * 4 + 0, 0]
-                        cnt = mm[c * 4 + 1, 0]
-                        entry = jnp.where(
-                            cnt > 0,
-                            -(((f0 // 8) << 7) | cnt) - 1,
-                            f0,
-                        )
-                        valid = (cnt >= 0) & (mins4[c, 0] < BIG_T)
-                        items.append((mins4[c, 0], entry, valid))
+                    # entry/key encode as (width, 4)-vector math — the
+                    # per-child scalar encode chain (shift/or/where x8)
+                    # was pure scalar-issue pressure; only the final
+                    # sublane reads stay scalar. Validity is folded into
+                    # the key (invalid -> BIG) so sort items are 2-tuples
+                    mmr = mm.reshape(width, 4)
+                    f0_v = mmr[:, 0:1]
+                    cnt_v = mmr[:, 1:2]
+                    entry_v = jnp.where(
+                        cnt_v > 0,
+                        -(((f0_v // 8) << 7) | cnt_v) - 1,
+                        f0_v,
+                    )
+                    key_v = jnp.where(
+                        (cnt_v >= 0) & (mins4 < BIG_T), mins4, BIG_T
+                    )
+                    items = [(key_v[c, 0], entry_v[c, 0])
+                             for c in range(width)]
 
-                    def cswap(a, b):  # after: a.tn <= b.tn
+                    def cswap(a, b):  # after: a.key <= b.key
                         sw = a[0] > b[0]
                         na = tuple(jnp.where(sw, y, x)
                                    for x, y in zip(a, b))
@@ -750,23 +785,38 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
                                (1, 2), (5, 6), (0, 4), (3, 7),
                                (1, 5), (2, 6), (1, 4), (3, 6),
                                (2, 4), (3, 5), (3, 4)]
-                    for a, b in net:
-                        items[a], items[b] = cswap(items[a], items[b])
+                    if sort_children:
+                        for a, b in net:
+                            items[a], items[b] = cswap(items[a],
+                                                       items[b])
                     # push far -> near so the nearest pops first
-                    for tn_c, entry_c, valid_c in reversed(items):
+                    for key_c, entry_c in reversed(items):
                         stack_ref[sp] = entry_c
-                        tn_stack_ref[sp] = tn_c
-                        sp = sp + valid_c.astype(jnp.int32)
-                    return sp, max_t, t_best, tri_best, b1_best, b2_best
+                        if cull:
+                            tn_stack_ref[sp] = key_c
+                        sp = sp + (key_c < BIG_T).astype(jnp.int32)
+                    return (sp, max_t, t_best, tri_best, b1_best,
+                            b2_best) + extra
 
                 return jax.lax.cond(is_inner, do_inner, do_leaf, args)
 
+            if not cull:
+                # tn-cull machinery removed: the census measured culled
+                # pops at ~0.1% of iterations on production wavefronts
+                # (ordered pushes mean t_best rarely shrinks below a
+                # pushed child's tn before it pops), so the per-
+                # iteration live-branch + tn stack traffic + per-leaf
+                # packet-max reduction cost more than the cull saves
+                return visit(state)
             return jax.lax.cond(live, visit, lambda a: a, state)
 
         def body(state):
+            if stats:
+                # count loop iterations (incl. culled pops) separately
+                state = state[:8] + (state[8] + 1,)
             sp = state[0]
             e_a = stack_ref[sp - 1]
-            tn_a = tn_stack_ref[sp - 1]
+            tn_a = tn_stack_ref[sp - 1] if cull else jnp.float32(0)
             if ways == 2:
                 # superscalar pop (ported from the binary kernel,
                 # measured win there): visit TWO stack entries per
@@ -779,7 +829,7 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
                 has_b = sp >= 2
                 idx_b = jnp.maximum(sp - 2, 0)
                 e_b = stack_ref[idx_b]
-                tn_b = tn_stack_ref[idx_b]
+                tn_b = tn_stack_ref[idx_b] if cull else jnp.float32(0)
                 sp = sp - 1 - has_b.astype(jnp.int32)
                 state = (sp,) + state[1:]
                 state = step_one(e_a, tn_a, state)
@@ -808,19 +858,31 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
             jnp.zeros((rows, 128), jnp.float32),
             jnp.zeros((rows, 128), jnp.float32),
         )
-        _, _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
-            cond, body, init
-        )
+        if stats:
+            init = init + (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        out = jax.lax.while_loop(cond, body, init)
+        _, _, t_best, tri_best, b1_best, b2_best = out[:6]
         t_ref[0] = t_best
         tri_ref[0] = tri_best
         b1_ref[0] = b1_best
         b2_ref[0] = b2_best
+        if stats:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+            stats_ref[0] = jnp.where(
+                (row == 0) & (lane == 0), out[6],
+                jnp.where(
+                    (row == 0) & (lane == 1), out[7],
+                    jnp.where((row == 0) & (lane == 2), out[8], 0),
+                ),
+            )
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("max_leaf", "any_hit", "rows", "width",
-                                   "bf16_box", "ways", "interpret"))
+                                   "bf16_box", "ways", "stats", "dyn_leaf",
+                                   "cull", "sort_children", "interpret"))
 def trace_packets4(
     nb4, nm4, tris,
     o, d, mint, maxt,
@@ -830,6 +892,10 @@ def trace_packets4(
     width: int = 4,
     bf16_box: bool = False,
     ways: int = 1,
+    stats: bool = False,
+    dyn_leaf: bool = False,
+    cull: bool = True,
+    sort_children: bool = True,
     interpret: bool = False,
 ):
     """4-wide packet trace. Same contract as trace_packets."""
@@ -845,7 +911,8 @@ def trace_packets4(
         shape8(d[:, 0]), shape8(d[:, 1]), shape8(d[:, 2]),
         shape8(mint), shape8(jnp.minimum(maxt, BIG_T)),
     ]
-    kernel = _make_kernel4(max_leaf, any_hit, rows, width, bf16_box, ways)
+    kernel = _make_kernel4(max_leaf, any_hit, rows, width, bf16_box, ways,
+                           stats, dyn_leaf, cull, sort_children)
     ray_spec = pl.BlockSpec((1, rows, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -855,11 +922,18 @@ def trace_packets4(
         jax.ShapeDtypeStruct((P, rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((P, rows, 128), jnp.float32),
     ]
-    t, tri, b1, b2 = pl.pallas_call(
+    n_out = 4
+    if stats:
+        # per-packet visit counters: [0,0]=inner visits, [0,1]=leaf
+        # visits (tools/trace_profile.py reads these to locate the
+        # kernel's cost split)
+        out_shape.append(jax.ShapeDtypeStruct((P, rows, 128), jnp.int32))
+        n_out = 5
+    outs = pl.pallas_call(
         kernel,
         grid=(P,),
         in_specs=[full(nb4), full(nm4), full(tris)] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -867,7 +941,12 @@ def trace_packets4(
         ],
         interpret=interpret,
     )(nb4, nm4, tris, *comps)
+    t, tri, b1, b2 = outs[:4]
     t = t.reshape(R)
     tri = tri.reshape(R)
     hit = tri >= 0
-    return hit, jnp.where(hit, t, BIG_T), tri, b1.reshape(R), b2.reshape(R)
+    res = (hit, jnp.where(hit, t, BIG_T), tri, b1.reshape(R),
+           b2.reshape(R))
+    if stats:
+        return res + (outs[4][:, 0, 0:3],)  # (P,3): inner, leaf, iters
+    return res

@@ -128,11 +128,18 @@ def render_sharded(scene, meta, li_fn, mesh: Mesh, spp=None,
 
 
 def make_sharded_train_step(scene, meta, li_fn, mesh: Mesh,
-                            axis: str = "rays"):
+                            axis: str = "rays", boundary_grad_fn=None):
     """Differentiable sharded step: grads of an image loss w.r.t. light
     emission + the texture atlas (material colors), reduced across the
     mesh by the partitioner — the renderer analogue of a DP training step
-    with gradient all-reduce over ICI."""
+    with gradient all-reduce over ICI.
+
+    boundary_grad_fn (opt-in): callable (params, pixel_ids, s_idx) ->
+    grads-pytree added to the AD grads. AD cannot see the visibility
+    boundary term (a moving occluder changes WHICH samples are blocked);
+    integrators/edge_grad.mesh_boundary_grad supplies it via silhouette
+    edge sampling — wrap it to your parameterization and pass it here
+    (tests/test_gradients.py shows the wiring)."""
     cam = meta.camera
     spec = cam.film
     seed = int(meta.settings.get("seed", 0))
@@ -161,6 +168,9 @@ def make_sharded_train_step(scene, meta, li_fn, mesh: Mesh,
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             light_color, tex_atlas
         )
+        if boundary_grad_fn is not None:
+            extra = boundary_grad_fn(params, pixel_ids, s_idx)
+            grads = jax.tree_util.tree_map(jnp.add, grads, extra)
         return loss, grads
 
     return train_step, scene_sh

@@ -107,6 +107,12 @@ class SceneMeta:
     trace_aligned: bool = False  # leaf starts 8-aligned (pallas)
     trace_wide: int = 1  # 4 = 4-wide collapsed BVH kernel
     trace_bf16_box: bool = False  # bf16 slab tests (conservative margin)
+    # pop-time tn-culling in the wide kernel. Default OFF: the visit
+    # census measured culled pops at ~0.1% of iterations on production
+    # wavefronts while the cull's live-branch + tn-stack traffic +
+    # per-leaf packet-max reduction cost 15-17% of bounce-trace time
+    # (round 5; GOBLIN_CULL=1 re-enables for heavily-occluded scenes)
+    trace_cull: bool = False
     trace_sort: bool = True  # morton-sort wavefronts before packet trace
     # reorder BOUNCE wavefronts (dead-compacting octant counting-sort).
     # Measured OFF: packing live lanes densely pulls rays from ~3x more
@@ -237,6 +243,7 @@ class SceneBuilder:
         # 18.39 wide4 / ~15 binary on bunny); GOBLIN_WIDE in {1,4,8}
         trace_wide = int(os.environ.get("GOBLIN_WIDE", 8))
         trace_bf16 = os.environ.get("GOBLIN_BF16BOX", "0") == "1"
+        trace_cull = os.environ.get("GOBLIN_CULL", "0") == "1"
         tri_v = [np.zeros((0, 3, 3), np.float32)]
         tri_n = [np.zeros((0, 3, 3), np.float32)]
         tri_uv = [np.zeros((0, 3, 2), np.float32)]
@@ -613,6 +620,7 @@ class SceneBuilder:
             trace_aligned=trace_backend == "pallas",
             trace_wide=trace_wide,
             trace_bf16_box=trace_bf16,
+            trace_cull=trace_cull,
             # measured on bunny: morton/octant ray sorting costs more
             # (argsort + 12 gathers) than the packet-coherence it buys at
             # 512x384; off by default, GOBLIN_SORT=1 for huge wavefronts

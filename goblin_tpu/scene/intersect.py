@@ -161,6 +161,7 @@ def trace_rays(scene, meta: SceneMeta, o, d, mint, maxt, any_hit=False,
             width=meta.trace_wide,
             bf16_box=getattr(meta, "trace_bf16_box", False),
             ways=getattr(meta, "trace_ways", 1),
+            cull=getattr(meta, "trace_cull", False),
         )
     else:
         hit, t, tri, b1, b2 = trace_packets(

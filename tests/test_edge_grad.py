@@ -223,3 +223,103 @@ def _renderer_boundary_check(tmp_path):
                 jnp.asarray([1e-3]), jnp.asarray([dist - 1e-3]),
             )
             assert bool(occ[0]) == expect, (a, b, sgn)
+
+
+# ---------------------------------------------------------------------------
+# Mesh occluder (round 5): silhouette extraction + light-polygon clipping
+# ---------------------------------------------------------------------------
+
+
+def _tet(theta):
+    """Closed tetrahedron occluder translated along +x by theta, sized
+    and placed so part of its projected silhouette falls OUTSIDE the
+    light polygon (exercises the clip)."""
+    # base at y=1 projects x2 onto the light plane: x spans
+    # [0.3, 1.1] + 2*theta — straddles the +x light edge at x = 1
+    v = np.float32([
+        [0.15 + theta, 1.0, 0.00],
+        [0.55 + theta, 1.0, 0.25],
+        [0.40 + theta, 1.0, -0.30],
+        [0.35 + theta, 1.25, 0.00],
+    ])
+    f = np.int32([[0, 2, 1], [0, 1, 3], [1, 2, 3], [2, 0, 3]])
+    return v, f
+
+
+def _L_direct_mesh(theta, n_grid=400):
+    """Dense-quadrature direct lighting with the tet occluder."""
+    v, f = _tet(theta)
+    xs = (np.arange(n_grid) + 0.5) / n_grid * 2 * HALF - HALF
+    zs = xs.copy()
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    y = np.stack([X.ravel(), np.full(X.size, 2.0), Z.ravel()], -1)
+    d = y - P[None, :]
+    occ = np.zeros(y.shape[0], bool)
+    for tri in f:
+        occ |= _moller(np.broadcast_to(P, y.shape), d,
+                       np.broadcast_to(v[tri[0]], y.shape),
+                       np.broadcast_to(v[tri[1]], y.shape),
+                       np.broadcast_to(v[tri[2]], y.shape))
+    g = _g(y)
+    area = (2 * HALF) ** 2
+    return (g * (~occ)[:, None]).mean(axis=0) * area
+
+
+def test_mesh_boundary_grad_vs_fd_with_clipping():
+    from goblin_tpu.integrators.edge_grad import (
+        build_edge_adjacency,
+        mesh_boundary_grad,
+    )
+
+    light_poly = np.float32([
+        [-HALF, 2.0, -HALF], [HALF, 2.0, -HALF],
+        [HALF, 2.0, HALF], [-HALF, 2.0, HALF],
+    ])
+    # CCW about n_l = (0,-1,0): check orientation sign once
+    e1 = light_poly[1] - light_poly[0]
+    e2 = light_poly[2] - light_poly[1]
+    if np.dot(np.cross(e1, e2), N_L) < 0:
+        light_poly = light_poly[::-1].copy()
+
+    # sweep: the tet shadow starts inside and crosses the +x light edge
+    for theta in (-0.05, 0.0, 0.12, 0.3):
+        v, f = _tet(theta)
+        adj = build_edge_adjacency(f)
+        vel = np.tile(np.float32([1.0, 0.0, 0.0]), (v.shape[0], 1))
+        grad = np.asarray(mesh_boundary_grad(
+            jnp.asarray(P), jnp.asarray(NS), jnp.asarray(ALBEDO),
+            light_poly, jnp.asarray(N_L), jnp.asarray(LE),
+            v, f, adj, vel, n_samples=128,
+        ))
+        h = 5e-3
+        fd = (_L_direct_mesh(theta + h) - _L_direct_mesh(theta - h)) / (2 * h)
+        scale = max(np.abs(fd).max(), 1e-4)
+        err = np.abs(grad - fd).max() / scale
+        assert err < 0.08, (theta, grad, fd)
+
+
+def test_mesh_boundary_grad_zero_when_shadow_outside():
+    """Shadow entirely off the light -> boundary gradient ~ 0 (the clip
+    must reject every edge)."""
+    from goblin_tpu.integrators.edge_grad import (
+        build_edge_adjacency,
+        mesh_boundary_grad,
+    )
+
+    light_poly = np.float32([
+        [-HALF, 2.0, -HALF], [HALF, 2.0, -HALF],
+        [HALF, 2.0, HALF], [-HALF, 2.0, HALF],
+    ])
+    e1 = light_poly[1] - light_poly[0]
+    e2 = light_poly[2] - light_poly[1]
+    if np.dot(np.cross(e1, e2), N_L) < 0:
+        light_poly = light_poly[::-1].copy()
+    v, f = _tet(3.0)  # far off the light
+    adj = build_edge_adjacency(f)
+    vel = np.tile(np.float32([1.0, 0.0, 0.0]), (v.shape[0], 1))
+    grad = np.asarray(mesh_boundary_grad(
+        jnp.asarray(P), jnp.asarray(NS), jnp.asarray(ALBEDO),
+        light_poly, jnp.asarray(N_L), jnp.asarray(LE),
+        v, f, adj, vel, n_samples=32,
+    ))
+    assert np.abs(grad).max() < 1e-5, grad
