@@ -118,7 +118,7 @@ def make_li(meta, max_depth=None, with_stats=False, unroll=False):
                 return L, (z, z)
             return L
 
-        def bounce_body(state, b, trace_cont=True):
+        def bounce_body(state, b, trace_cont=True, sort_cont="dir"):
             L, throughput, frag, active = state
             p = frag["p"]
             ns = frag["ns"]
@@ -165,7 +165,6 @@ def make_li(meta, max_depth=None, with_stats=False, unroll=False):
                 scene, meta, p, ls["wi"],
                 jnp.where(consider, eps, scn.BIG_T),
                 jnp.where(consider, ls["shadow_maxt"], 0.0),
-                sort="octant" if getattr(meta, "trace_sort_bounce", True) else None,
             )
             vis = consider & ~occ
             bsdf_pdf_l = bx.bsdf_pdf(mat, ns, wo, ls["wi"], bx.BSDF_ALL)
@@ -200,7 +199,8 @@ def make_li(meta, max_depth=None, with_stats=False, unroll=False):
                     scene, meta, p, wi,
                     jnp.where(cont_ok, eps, scn.BIG_T),
                     jnp.where(cont_ok, 3.0e37, 0.0),
-                    sort="octant" if getattr(meta, "trace_sort_bounce", True) else None,
+                    sort=sort_cont
+                    if getattr(meta, "trace_sort_bounce", True) else None,
                 )
             else:
                 # final bounce of an all-delta-light scene: the
@@ -293,7 +293,8 @@ def make_li(meta, max_depth=None, with_stats=False, unroll=False):
             ys_list = []
             state = init
             for b in range(n_scan):
-                state, y = bounce_body(state, jnp.int32(b))
+                state, y = bounce_body(state, jnp.int32(b),
+                                       sort_cont=None if b == 0 else "dir")
                 ys_list.append(y)
             ys = (
                 tuple(jnp.stack(v) for v in zip(*ys_list))
@@ -301,7 +302,26 @@ def make_li(meta, max_depth=None, with_stats=False, unroll=False):
                 (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32))
             )
         else:
-            state, ys = jax.lax.scan(bounce_body, init, jnp.arange(n_scan))
+            # bounce 1 is peeled out of the scan and traces UNSORTED:
+            # its wavefront still carries strong screen-tile coherence
+            # (one diffuse bounce off mostly-planar geometry), where the
+            # dir-sort's region mixing loses; bounces >= 2 are direction-
+            # incoherent and win from the global (dead, octant, axis)
+            # sort (measured per-chunk, round 5)
+            ys0 = None
+            if n_scan >= 1:
+                state, ys0 = bounce_body(init, jnp.int32(0),
+                                         sort_cont=None)
+            else:
+                state = init
+            state, ys = jax.lax.scan(
+                bounce_body, state, jnp.arange(1, max(n_scan, 1))
+            )
+            if with_stats and ys0 is not None:
+                ys = tuple(
+                    jnp.concatenate([a[None], b_])
+                    for a, b_ in zip(ys0, ys)
+                )
         if skip_last:
             state, ys_last = bounce_body(
                 state, jnp.int32(max_depth - 2), trace_cont=False

@@ -114,11 +114,14 @@ class SceneMeta:
     # (round 5; GOBLIN_CULL=1 re-enables for heavily-occluded scenes)
     trace_cull: bool = False
     trace_sort: bool = True  # morton-sort wavefronts before packet trace
-    # reorder BOUNCE wavefronts (dead-compacting octant counting-sort).
-    # Measured OFF: packing live lanes densely pulls rays from ~3x more
-    # screen area into each packet, growing the per-packet BVH node
-    # union — coherence beats occupancy for packet traversal (19.3
-    # unsorted vs 12.1 octant-partitioned vs 13.3 full-morton on bunny).
+    # reorder bounce>=2 continuation wavefronts by a global stable
+    # (dead, octant, dominant-axis) sort before the packet trace.
+    # Isolated captured-wavefront timing shows wins on expensive deep
+    # bounces (bounce2 6.7 -> 2.9 ms per 64k), but END-TO-END the pass
+    # is consistently ~4% slower with it on (21.6 -> 20.8 Mrays/s on
+    # bunny even with bounce 1 peeled unsorted) — cheap chunks lose
+    # more than expensive chunks gain. Default OFF; GOBLIN_SORT_BOUNCE=1
+    # enables for scenes dominated by deep incoherent bounces.
     trace_sort_bounce: bool = False
     world_bounds: tuple = ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
 
