@@ -187,3 +187,22 @@ def render(scene, meta, li_fn, spp=None, seed=None, chunk_size=1 << 16,
         if report is not None:
             report(s + 1, n_spp)
     return film_mod.to_image(color, weight, normalize=True)
+
+
+def jit_cache(meta, key, builder):
+    """Per-(meta, scene) cache of built jitted passes.
+
+    The splatting-method drivers (LT/BDPT/SPPM) build their jitted
+    chunk functions inside the render call; without caching, EVERY
+    render call creates fresh closures and pays a full retrace (tens of
+    seconds for the big pass graphs) even when the persistent
+    compilation cache skips XLA itself. Keyed storage lives on the meta
+    object so same-scene re-renders reuse the compiled passes; include
+    id(scene) in `key` when the builder closes over scene arrays."""
+    cache = getattr(meta, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(meta, "_jit_cache", cache)
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]

@@ -369,12 +369,22 @@ def render_light_tracer(scene, meta, chunk_size=1 << 14, spp=None,
     total_paths = spp * n_pix
     n_chunks = (total_paths + chunk_size - 1) // chunk_size
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def chunk_fn(color, weight, path_ids):
-        x, y, c = contrib_fn(
-            scene, meta, path_ids, jnp.int32(0), seed, max_len
-        )
-        return film_mod.splat(spec, color, weight, x, y, c, normalized=True)
+    def build_chunk_fn():
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def chunk_fn(color, weight, path_ids):
+            x, y, c = contrib_fn(
+                scene, meta, path_ids, jnp.int32(0), seed, max_len
+            )
+            return film_mod.splat(spec, color, weight, x, y, c,
+                                  normalized=True)
+        return chunk_fn
+
+    from .integrators.common import jit_cache
+
+    chunk_fn = jit_cache(
+        meta, ("lt", id(scene), seed, max_len, strategy, chunk_size),
+        build_chunk_fn,
+    )
 
     color, weight = film_mod.new_film(spec)
     for ci in range(n_chunks):

@@ -91,7 +91,8 @@ def test_photon_deposit_flux_conserved_dense_cell(tmp_path):
     and silently dropped energy)."""
     import jax.numpy as jnp
 
-    from goblin_tpu.integrators.sppm import build_grid, make_photon_pass
+    from goblin_tpu.integrators.sppm import (make_photon_passes,
+                                             vp_cell_meta)
     from goblin_tpu.integrators.materials import gather_material
     from goblin_tpu.lights import lights as lt
     from goblin_tpu.shading import bsdf as bx
@@ -125,13 +126,17 @@ def test_photon_deposit_flux_conserved_dense_cell(tmp_path):
         "valid": jnp.ones((n_pix,), bool),
     }
     radius = jnp.full((n_pix,), 2.5, jnp.float32)
-    grid = build_grid(vp, radius, n_pix)
+    bbox_min, inv_len, max_r = vp_cell_meta(vp, radius)
 
-    photon_pass = make_photon_pass(scene, meta, seed, max_len, n_pix)
+    deposit_chunk, vp_drain = make_photon_passes(scene, meta, seed,
+                                                 max_len, n_pix)
     ids = jnp.arange(256, dtype=jnp.int32)
     Phi = jnp.zeros((n_pix, 3))
     Mi = jnp.zeros((n_pix,))
-    Phi, Mi = photon_pass(ids, jnp.int32(0), grid, vp, radius, Phi, Mi)
+    rows, e_hash, e_idx = deposit_chunk(ids, jnp.int32(0), bbox_min,
+                                        inv_len, max_r)
+    Phi, Mi = vp_drain(vp, radius, rows, e_hash, e_idx, bbox_min,
+                       inv_len, Phi, Mi)
     Phi, Mi = np.asarray(Phi), np.asarray(Mi)
 
     # brute force O(N*P): rerun the identical light walk and test every
