@@ -285,3 +285,74 @@ class CameraSpec:
         return self.focal_distance ** 2 / jnp.maximum(
             self.film_area * cos_t ** 3, 1e-20
         )
+
+
+# ---------------------------------------------------------------------------
+# Interactive-style camera movement helpers (reference
+# src/GoblinCamera.h:110-185). CameraSpec is an immutable bake (its
+# matrices are cached_property), so the reference's mutate-and-dirty
+# pattern becomes pure functions returning a NEW spec — re-bake by
+# re-creating any jitted pass that closed over the old one.
+# ---------------------------------------------------------------------------
+
+
+def _quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
+def rotate(spec: CameraSpec, axis, angle: float) -> CameraSpec:
+    """orientation' = normalize(Quaternion(axis, angle) * orientation)
+    (reference Camera::rotate, src/GoblinCamera.h:176-179)."""
+    import dataclasses
+
+    ax = np.asarray(axis, np.float64)
+    ax = ax / max(np.linalg.norm(ax), 1e-20)
+    h = 0.5 * float(angle)
+    q = (np.cos(h), *(np.sin(h) * ax))
+    o = _quat_mul(q, spec.orientation)
+    n = max(np.sqrt(sum(v * v for v in o)), 1e-20)
+    return dataclasses.replace(
+        spec, orientation=tuple(float(v) / n for v in o)
+    )
+
+
+def translate(spec: CameraSpec, d) -> CameraSpec:
+    """position += d (reference Camera::translate)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        spec,
+        position=tuple(float(p) + float(v)
+                       for p, v in zip(spec.position, d)),
+    )
+
+
+def roll(spec: CameraSpec, angle: float) -> CameraSpec:
+    return rotate(spec, spec.look, angle)
+
+
+def pitch(spec: CameraSpec, angle: float) -> CameraSpec:
+    return rotate(spec, spec.right, angle)
+
+
+def yaw(spec: CameraSpec, angle: float) -> CameraSpec:
+    return rotate(spec, spec.up, angle)
+
+
+def rotate_x(spec: CameraSpec, angle: float) -> CameraSpec:
+    return rotate(spec, (1.0, 0.0, 0.0), angle)
+
+
+def rotate_y(spec: CameraSpec, angle: float) -> CameraSpec:
+    return rotate(spec, (0.0, 1.0, 0.0), angle)
+
+
+def rotate_z(spec: CameraSpec, angle: float) -> CameraSpec:
+    return rotate(spec, (0.0, 0.0, 1.0), angle)

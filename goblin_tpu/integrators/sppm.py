@@ -386,7 +386,20 @@ def vp_cell_meta(vp, radius):
     return pmin - max_r, 1.0 / cell, max_r
 
 
-def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
+def save_sppm_state(path, state):
+    """Checkpoint the per-pixel SPPM progress (SURVEY §5: the reference
+    has no checkpointing; its per-pixel PixelData is the natural resume
+    point). state = dict from render_sppm(return_state=True)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in state.items()})
+
+
+def load_sppm_state(path):
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None,
+                state=None, return_state=False):
     cam = meta.camera
     spec = cam.film
     if iterations is None:
@@ -414,12 +427,25 @@ def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
         ),
     )
 
-    # per-pixel persistent state
-    Ld_acc = jnp.zeros((n_pix, 3), jnp.float32)
-    Ni = jnp.zeros((n_pix,), jnp.float32)
-    Tau = jnp.zeros((n_pix, 3), jnp.float32)
-    radius = jnp.full((n_pix,), init_radius, jnp.float32)
-    emitted = 0
+    # per-pixel persistent state (resumable: pass back the dict a
+    # return_state=True call produced, possibly reloaded from disk via
+    # load_sppm_state — iterations CONTINUE from the saved it0 with the
+    # same per-iteration QMC streams, so save/resume is bit-identical
+    # to an uninterrupted run)
+    if state is not None:
+        Ld_acc = jnp.asarray(state["Ld_acc"])
+        Ni = jnp.asarray(state["Ni"])
+        Tau = jnp.asarray(state["Tau"])
+        radius = jnp.asarray(state["radius"])
+        emitted = int(state["emitted"])
+        it0 = int(state["it"])
+    else:
+        Ld_acc = jnp.zeros((n_pix, 3), jnp.float32)
+        Ni = jnp.zeros((n_pix,), jnp.float32)
+        Tau = jnp.zeros((n_pix, 3), jnp.float32)
+        radius = jnp.full((n_pix,), init_radius, jnp.float32)
+        emitted = 0
+        it0 = 0
 
     @jax.jit
     def update(Ni, Tau, radius, Phi, Mi, vp_tp, vp_valid):
@@ -434,7 +460,7 @@ def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
             jnp.where(has, new_r, radius),
         )
 
-    for it in range(iterations):
+    for it in range(it0, iterations):
         Ld_it, vp = ray_pass(pixel_ids, jnp.int32(it))
         Ld_acc = Ld_acc + Ld_it
         # initial radius heuristic when unset (reference :241-253),
@@ -473,7 +499,7 @@ def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
         Ni, Tau, radius = update(Ni, Tau, radius, Phi, Mi, vp["tp"],
                                  vp["valid"])
 
-    L = Ld_acc / iterations + Tau / jnp.maximum(
+    L = Ld_acc / max(iterations, 1) + Tau / jnp.maximum(
         emitted * np.pi * radius[:, None] ** 2, 1e-20
     )
     # splat with the film filter at pixel centers (reference final tile)
@@ -481,4 +507,10 @@ def render_sppm(scene, meta, chunk_size=1 << 15, iterations=None, seed=None):
     px = (pixel_ids % spec.x_res).astype(jnp.float32) + 0.5
     py = (pixel_ids // spec.x_res).astype(jnp.float32) + 0.5
     color, weight = film_mod.splat(spec, color, weight, px, py, L)
-    return film_mod.to_image(color, weight, normalize=True)
+    img = film_mod.to_image(color, weight, normalize=True)
+    if return_state:
+        return img, {
+            "Ld_acc": Ld_acc, "Ni": Ni, "Tau": Tau, "radius": radius,
+            "emitted": emitted, "it": iterations,
+        }
+    return img

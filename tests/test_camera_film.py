@@ -128,3 +128,29 @@ def test_tone_map_and_bloom_run():
     assert bl.shape == img.shape and np.isfinite(bl).all()
     # bloom is energy-preserving-ish blend
     assert abs(bl.mean() - img.mean()) / img.mean() < 0.25
+
+
+def test_camera_movement_helpers():
+    """rotate/translate/roll/pitch/yaw (reference GoblinCamera.h:110-185)
+    as pure spec transforms."""
+    import numpy as np
+
+    from goblin_tpu.camera import camera as cm
+
+    spec = cm.CameraSpec(position=(1.0, 2.0, 3.0))
+    moved = cm.translate(spec, (1.0, -2.0, 0.5))
+    assert moved.position == (2.0, 0.0, 3.5)
+    assert spec.position == (1.0, 2.0, 3.0)  # original untouched
+
+    # yaw by 90 deg: look (0,0,1) -> (1,0,0) for identity orientation
+    turned = cm.yaw(spec, np.pi / 2)
+    np.testing.assert_allclose(turned.look, [1, 0, 0], atol=1e-6)
+    # pitch by 90 deg: look -> -up direction... reference convention:
+    # rotate about right axis (1,0,0): z -> -y? verify unit norm + axis
+    p = cm.pitch(spec, np.pi / 2)
+    np.testing.assert_allclose(np.linalg.norm(p.orientation), 1.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(p.look, [0, -1, 0], atol=1e-6)
+    # roll keeps look invariant
+    r = cm.roll(spec, 1.0)
+    np.testing.assert_allclose(r.look, spec.look, atol=1e-6)

@@ -179,3 +179,27 @@ def test_photon_deposit_flux_conserved_dense_cell(tmp_path):
     np.testing.assert_allclose(Mi, Mi_bf, rtol=0, atol=0.5)
     np.testing.assert_allclose(Phi.sum(), Phi_bf.sum(), rtol=1e-4)
     np.testing.assert_allclose(Phi, Phi_bf, rtol=1e-3, atol=1e-5)
+
+
+def test_sppm_checkpoint_resume_bit_identical(tmp_path):
+    """Save after 2 iterations, resume for 2 more == uninterrupted 4
+    (the per-iteration QMC streams are keyed on the absolute iteration
+    index, so resuming is bit-identical)."""
+    import jax.numpy as jnp
+
+    from goblin_tpu.integrators.sppm import (load_sppm_state, render_sppm,
+                                             save_sppm_state)
+
+    p = _scene(str(tmp_path), spp=4, depth=3)
+    scene, meta = load_scene(p)
+    full = np.asarray(render_sppm(scene, meta, chunk_size=256,
+                                  iterations=4))
+    _, st = render_sppm(scene, meta, chunk_size=256, iterations=2,
+                        return_state=True)
+    ckpt = str(tmp_path / "sppm.npz")
+    save_sppm_state(ckpt, st)
+    resumed = np.asarray(render_sppm(
+        scene, meta, chunk_size=256, iterations=4,
+        state=load_sppm_state(ckpt),
+    ))
+    np.testing.assert_array_equal(full, resumed)
