@@ -97,7 +97,9 @@ def main():
            "note": (
                "cpu-fake-mesh: 8 virtual devices share one host's cores, "
                "so efficiency_8dev measures GSPMD partitioning overhead "
-               "(1.0 = sharding adds nothing), NOT hardware scaling; "
+               "(~1.0 = sharding adds nothing; slightly >1 just means "
+               "the partitioned program spread across host threads "
+               "better), NOT hardware scaling; "
                "real >=85% rays/s scaling needs a pod slice. tpu-1chip "
                "fields record the real-chip sharded-vs-unsharded "
                "overhead on one device."

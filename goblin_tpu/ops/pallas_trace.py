@@ -436,7 +436,15 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray, width: int = 4):
     Returns (nb (N,128) f32, nm (N,128) i32): one row per node;
     child c occupies bounds lanes c*8..c*8+5 and meta lanes c*4..c*4+1
     with [f0, count]: count>0 leaf (f0=first_tri), count==0 inner
-    (f0=child node id), count==-1 empty slot."""
+    (f0=child node id), count==-1 empty slot.
+
+    nb ALSO carries the meta ints bitcast into its free lanes
+    width*8 + c*4 .. +1 so the kernel resolves bounds AND meta from ONE
+    row fetch + one extract chain. The ints are biased by
+    +1 then OR 0x40000000 before the f32 bitcast: the extract reduction
+    sums masked floats, and small-int bit patterns are DENORMALS that
+    TPU float adds flush to zero — the bias keeps every field a normal
+    float (exact under x + 0.0)."""
     N = bounds.shape[0]
 
     def area(j):
@@ -483,6 +491,13 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray, width: int = 4):
                 row_m[c * 4 + 1] = -1  # empty
         return my
 
+    def bias_pack(row_b, row_m):
+        if width * 12 <= 128:
+            enc = ((np.asarray(row_m[: width * 4], np.int64) + 1)
+                   | 0x40000000).astype(np.int32)
+            off = width * 8
+            row_b[off:off + width * 4] = enc.view(np.float32)
+
     import sys
 
     sys.setrecursionlimit(max(10000, 64 + 2 * N))
@@ -499,6 +514,8 @@ def collapse4(bounds: np.ndarray, meta: np.ndarray, width: int = 4):
         nm4_rows.append(row_m)
     else:
         emit(0)
+    for row_b, row_m in zip(nb4_rows, nm4_rows):
+        bias_pack(row_b, row_m)
     return np.stack(nb4_rows), np.stack(nm4_rows)
 
 
@@ -672,9 +689,18 @@ def _make_kernel4(max_leaf: int, any_hit: bool, rows: int,
                     if stats:
                         extra = (extra[0] + 1,) + extra[1:]
                     brow = nb_ref[pl.ds(e, 1), :]
-                    mrow = nm_ref[pl.ds(e, 1), :]
-                    bb = _extract_block(brow, 0, width * 8)
-                    mm = _extract_block(mrow, 0, width * 4)
+                    if width * 12 <= 128:
+                        # bounds AND (biased, f32-bitcast) meta from ONE
+                        # row fetch + one extract chain (see collapse4)
+                        bbmm = _extract_block(brow, 0, width * 12)
+                        bb = bbmm[: width * 8]
+                        mm = (jax.lax.bitcast_convert_type(
+                            bbmm[width * 8:], jnp.int32)
+                            & ~jnp.int32(0x40000000)) - 1
+                    else:
+                        mrow = nm_ref[pl.ds(e, 1), :]
+                        bb = _extract_block(brow, 0, width * 8)
+                        mm = _extract_block(mrow, 0, width * 4)
                     tbq = t_best
                     if any_hit:
                         tbq = jnp.where(tri_best < 0, t_best, -BIG_T)
