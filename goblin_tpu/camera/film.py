@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -152,15 +153,16 @@ def new_film(spec: FilmSpec):
     )
 
 
-def splat(spec: FilmSpec, color, weight, x, y, L, normalized=False):
-    """Filter-splat a batch of samples into the film.
+def splat_taps(spec: FilmSpec, x, y, L, normalized=False):
+    """Tap-expansion half of the filter splat: sample (x, y, L) ->
+    (flat_idx, w, wL) update streams for the film scatter.
 
-    x, y: (R,) continuous image coords; L: (R, 3) radiance.
-    NaN samples are discarded (reference ImageTile::addSample NaN guard).
-    normalized=True divides weights by the filter integral (the
-    reference FilterTable bakes this in; it matters for splatting
-    integrators where the film is NOT weight-normalized).
-    Returns updated (color, weight).
+    SPLIT FROM THE SCATTER ON PURPOSE: a scatter-add whose update
+    operands are values internal to the same jit runs ~5000x slower on
+    TPU than one reading argument buffers (measured 13 s vs 0.2 ms for
+    identical 16M-point updates; optimization_barrier does NOT fix it —
+    the internal-value layout hits an XLA scatter slow path). Drivers
+    must jit splat_taps and splat_accum as SEPARATE dispatches.
     """
     f = spec.filter
     dx_img = x - 0.5
@@ -198,11 +200,14 @@ def splat(spec: FilmSpec, color, weight, x, y, L, normalized=False):
     ).reshape(-1)
     w_flat = w.reshape(-1)
     wL = (w[..., None] * L[:, None, None, :]).reshape(-1, 3)
-    # slice the scatter-add: XLA's TPU scatter is fast up to ~4M update
-    # points but falls off a cliff beyond (measured 0.08 ms at 4M vs
-    # 194 ms at 8M for the same film) — BDPT/LT chunks splat
-    # n_strategies x lanes x filter-taps points, easily past the cliff
-    SLICE = 1 << 22
+    return flat_idx, w_flat, wL
+
+
+def splat_accum(color, weight, flat_idx, w_flat, wL):
+    """Scatter half of the filter splat (see splat_taps). Slice the
+    scatter-add: XLA's TPU scatter is fast up to ~4M update points but
+    falls off a cliff beyond (measured 0.08 ms at 4M vs 194 ms at 8M)."""
+    SLICE = 1 << 21
     n = flat_idx.shape[0]
     cflat = color.reshape(-1, 3)
     wflat = weight.reshape(-1)
@@ -211,6 +216,15 @@ def splat(spec: FilmSpec, color, weight, x, y, L, normalized=False):
         cflat = cflat.at[flat_idx[sl]].add(wL[sl])
         wflat = wflat.at[flat_idx[sl]].add(w_flat[sl])
     return cflat.reshape(color.shape), wflat.reshape(weight.shape)
+
+
+def splat(spec: FilmSpec, color, weight, x, y, L, normalized=False):
+    """Filter-splat a batch of samples into the film (taps + scatter in
+    one call — fine OUTSIDE jit where each op dispatches separately; jit
+    users must call splat_taps / splat_accum as separate dispatches, see
+    splat_taps)."""
+    flat_idx, w_flat, wL = splat_taps(spec, x, y, L, normalized)
+    return splat_accum(color, weight, flat_idx, w_flat, wL)
 
 
 def splat_dense(spec: FilmSpec, color, weight, jx, jy, L, ys0=0, xs0=0):

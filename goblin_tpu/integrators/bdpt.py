@@ -526,9 +526,9 @@ def render_bdpt(scene, meta, chunk_size=1 << 13, spp=None, seed=None):
     if pad:
         valid_all[n_pix:] = False
 
-    def build_chunk_fn():
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def chunk_fn(color, weight, pixel_ids, valid, s_idx):
+    def build_chunk_fns():
+        @jax.jit
+        def taps_fn(pixel_ids, valid, s_idx):
             x, y, c = bdpt_contributions(
                 scene, meta, pixel_ids, s_idx, seed, max_len,
                 debug_s, debug_t, debug_no_mis,
@@ -537,18 +537,23 @@ def render_bdpt(scene, meta, chunk_size=1 << 13, spp=None, seed=None):
             v = jnp.tile(valid, n_strat)
             c = jnp.where(v[:, None], c, 0.0)
             x = jnp.where(v, x, -1e9)
-            return film_mod.splat(spec, color, weight, x, y, c,
-                                  normalized=True)
-        return chunk_fn
+            return film_mod.splat_taps(spec, x, y, c, normalized=True)
+
+        # the scatter MUST be its own dispatch (film.splat_taps doc)
+        accum_fn = jax.jit(film_mod.splat_accum, donate_argnums=(0, 1))
+        return taps_fn, accum_fn
 
     from .common import jit_cache
 
-    chunk_fn = jit_cache(
+    taps_fn, accum_fn = jit_cache(
         meta,
         ("bdpt", id(scene), seed, max_len, chunk_size, debug_s, debug_t,
          debug_no_mis),
-        build_chunk_fn,
+        build_chunk_fns,
     )
+
+    def chunk_fn(color, weight, pixel_ids, valid, s_idx):
+        return accum_fn(color, weight, *taps_fn(pixel_ids, valid, s_idx))
 
     color, weight = film_mod.new_film(spec)
     total = 0

@@ -369,22 +369,27 @@ def render_light_tracer(scene, meta, chunk_size=1 << 14, spp=None,
     total_paths = spp * n_pix
     n_chunks = (total_paths + chunk_size - 1) // chunk_size
 
-    def build_chunk_fn():
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def chunk_fn(color, weight, path_ids):
+    def build_chunk_fns():
+        @jax.jit
+        def taps_fn(path_ids):
             x, y, c = contrib_fn(
                 scene, meta, path_ids, jnp.int32(0), seed, max_len
             )
-            return film_mod.splat(spec, color, weight, x, y, c,
-                                  normalized=True)
-        return chunk_fn
+            return film_mod.splat_taps(spec, x, y, c, normalized=True)
+
+        # the scatter MUST be its own dispatch (film.splat_taps doc)
+        accum_fn = jax.jit(film_mod.splat_accum, donate_argnums=(0, 1))
+        return taps_fn, accum_fn
 
     from .integrators.common import jit_cache
 
-    chunk_fn = jit_cache(
+    taps_fn, accum_fn = jit_cache(
         meta, ("lt", id(scene), seed, max_len, strategy, chunk_size),
-        build_chunk_fn,
+        build_chunk_fns,
     )
+
+    def chunk_fn(color, weight, path_ids):
+        return accum_fn(color, weight, *taps_fn(path_ids))
 
     color, weight = film_mod.new_film(spec)
     for ci in range(n_chunks):
