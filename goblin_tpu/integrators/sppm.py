@@ -10,12 +10,13 @@ sort-based data-parallel grid:
        bounce, walk continues through non-diffuse lobes, the first
        diffuse (or last) vertex is recorded as the pixel's visible point
        (:327-389)
-    2. grid build: visible points insert (cell-hash, pixel) entries for
-       all cells their max-radius ball overlaps; entries are sorted by
-       hash and segmented (Teschner hash, cell = 2 * max radius, :240-276)
-    3. photon pass: light walks deposit into visible points of the
-       photon's cell (capped segment scan + scatter-add of Phi/Mi)
-       (:391-462)
+    2. grid build: photon DEPOSITS insert (cell-hash, deposit) entries
+       for all cells their +-max_r cube overlaps; entries sorted by hash
+       and segmented (Teschner hash, cell = 2 * max radius, :240-276)
+    3. photon pass, VP-major gather form: every visible point drains
+       exactly its own cell's deposit list, accumulating Phi/Mi in its
+       own lane — no scatter (round 5; same join as the reference's
+       per-cell linked-list walk, :391-462)
     4. radius/flux update, alpha = 0.7: N' = N + a*M,
        R' = R*sqrt(N'/(N+M)), Tau' = (Tau + tp*Phi)(R'/R)^2 (:548-567)
 

@@ -8,8 +8,11 @@ Two instruments:
    measured kernel time yields ns/visit and the inner-vs-leaf cost
    split (the number that decides where kernel tuning effort goes);
 2. jax.profiler trace of one full production render pass, written to
-   --trace-dir (view with tensorboard or xprof; the per-op table shows
-   trace kernels vs shading vs film splat).
+   --trace-dir (view with tensorboard/xprof, or sum the trace.json.gz
+   event durations directly). Round-5 reading of the device trace: the
+   bounce-scan trace kernel is ~74% of the pass (62 of 84 ms),
+   shading/NEE fusions ~12 ms, shadow+primary traces ~11 ms — so the
+   100 Mrays/s north star needs BOTH kernel and shading wins.
 
 Run on the real chip: python tools/trace_profile.py
 """
