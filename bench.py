@@ -88,6 +88,14 @@ def main():
     total_rays = spp * n_pix * rays_per_lane
     mrays = total_rays / dt / 1e6
     useful_mrays = spp * useful_per_sample / dt / 1e6
+    # dispatched accounting: the all-delta last-bounce peel skips one
+    # continuation trace per lane-sample, so the hardware actually
+    # dispatches one lane-ray fewer than the legacy formula counts
+    # (kept as `value` for cross-round comparability)
+    disp_per_lane = rays_per_lane - (
+        1 if getattr(meta, "all_delta_lights", False) else 0
+    )
+    disp_mrays = spp * n_pix * disp_per_lane / dt / 1e6
     print(
         json.dumps(
             {
@@ -96,6 +104,8 @@ def main():
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
                 "useful_mrays": round(useful_mrays, 3),
+                "dispatched_mrays": round(disp_mrays, 3),
+                "dispatched_rays_per_lane_sample": disp_per_lane,
                 "shadow_fraction_per_bounce": [
                     round(float(a) / n_pix, 4) for a in n_shadow
                 ],
