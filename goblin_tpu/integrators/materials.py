@@ -68,6 +68,9 @@ def gather_material(scene, meta, frag, u_mask=None):
         return _pick(ftex_stack, ids)[..., 0]
 
     mat = {
+        # static tuple of kinds present in the scene — bsdf dispatch
+        # prunes absent-material branches at trace time (bsdf._need)
+        "kinds": tuple(getattr(meta, "material_kinds", ()) or ()) or None,
         "mtype": bits(rows_eff[:, 0]),
         "c0": gc(bits(rows_eff[:, 1])),
         "c1": jnp.where(

@@ -207,16 +207,30 @@ def _blinn_pdf(mat, ns, wo, wi, type_mask):
 # ---------------------------------------------------------------------------
 
 
+def _need(mat, kind):
+    """Static material-kind pruning: gather_material records the scene's
+    present kinds (meta.material_kinds) as a python tuple in the mat
+    dict; branches for absent kinds are dropped at trace time instead of
+    computed-and-masked (a bunny pass was paying full Blinn
+    Torrance-Sparrow math per bounce with zero blinn materials)."""
+    kinds = mat.get("kinds")
+    return kinds is None or kind in kinds
+
+
 def bsdf_eval(mat, ns, wo, wi, type_mask, mode=MODE_RADIANCE):
     """f(wo, wi): (R, 3). Delta lobes contribute 0 (reference behavior)."""
     mtype = mat["mtype"]
-    f_l = _lambert_eval(mat, ns, wo, wi, type_mask)
-    f_b = _blinn_eval(mat, ns, wo, wi, type_mask)
-    f = jnp.where(
-        (mtype == MAT_LAMBERT)[..., None],
-        f_l,
-        jnp.where((mtype == MAT_BLINN)[..., None], f_b, 0.0),
-    )
+    f = jnp.zeros(wo.shape, jnp.float32)
+    if _need(mat, MAT_LAMBERT):
+        f = jnp.where(
+            (mtype == MAT_LAMBERT)[..., None],
+            _lambert_eval(mat, ns, wo, wi, type_mask), f,
+        )
+    if _need(mat, MAT_BLINN):
+        f = jnp.where(
+            (mtype == MAT_BLINN)[..., None],
+            _blinn_eval(mat, ns, wo, wi, type_mask), f,
+        )
     # masked materials scale the inner bsdf by alpha (reference
     # MaskMaterial::bsdf) — resolved at bake: is_masked flag scales.
     alpha = mat.get("mask_alpha")
@@ -227,11 +241,13 @@ def bsdf_eval(mat, ns, wo, wi, type_mask, mode=MODE_RADIANCE):
 
 def bsdf_pdf(mat, ns, wo, wi, type_mask):
     mtype = mat["mtype"]
-    p_l = _lambert_pdf(mat, ns, wo, wi, type_mask)
-    p_b = _blinn_pdf(mat, ns, wo, wi, type_mask)
-    pdf = jnp.where(
-        mtype == MAT_LAMBERT, p_l, jnp.where(mtype == MAT_BLINN, p_b, 0.0)
-    )
+    pdf = jnp.zeros(wo.shape[:-1], jnp.float32)
+    if _need(mat, MAT_LAMBERT):
+        pdf = jnp.where(mtype == MAT_LAMBERT,
+                        _lambert_pdf(mat, ns, wo, wi, type_mask), pdf)
+    if _need(mat, MAT_BLINN):
+        pdf = jnp.where(mtype == MAT_BLINN,
+                        _blinn_pdf(mat, ns, wo, wi, type_mask), pdf)
     alpha = mat.get("mask_alpha")
     if alpha is not None:
         pdf = pdf * jnp.where(mat["is_masked"], alpha, 1.0)
@@ -266,32 +282,47 @@ def bsdf_sample(mat, ns, dpdu, wo, u1, u2, u_comp, type_mask,
     wi_lambert = to_world(t, b, ns, wi_loc * flip)
 
     # --- blinn: sample half vector, reflect
-    e = mat["f0"]
-    cos_th = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (e + 1.0))
-    sin_th = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
-    wh_loc = jnp.stack(
-        [sin_th * jnp.cos(phi), sin_th * jnp.sin(phi), cos_th], axis=-1
-    )
-    wh = to_world(t, b, ns, wh_loc * flip)
-    wi_blinn = -wo + 2.0 * vm.dotn(wo, wh) * wh
+    if _need(mat, MAT_BLINN):
+        e = mat["f0"]
+        cos_th = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (e + 1.0))
+        sin_th = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
+        wh_loc = jnp.stack(
+            [sin_th * jnp.cos(phi), sin_th * jnp.sin(phi), cos_th],
+            axis=-1,
+        )
+        wh = to_world(t, b, ns, wh_loc * flip)
+        wi_blinn = -wo + 2.0 * vm.dotn(wo, wh) * wh
+    else:
+        wi_blinn = wi_lambert  # never selected (no blinn material)
 
     # --- dielectric specular reflect / refract (transparent, subsurface)
+    need_dielectric = (_need(mat, MAT_TRANSPARENT)
+                       or _need(mat, MAT_SUBSURFACE))
     entering = n_dot_wo > 0.0
     n_or = jnp.where(entering[..., None], ns, -ns)
     cosi = jnp.abs(n_dot_wo)
     etai = mat["eta"]  # inside IOR (etat in reference naming)
     ei = jnp.where(entering, 1.0, etai)  # incident-side IOR
     et = jnp.where(entering, etai, 1.0)  # transmitted-side IOR
-    F = fresnel_dielectric(cosi, ei, et)
-    wi_reflect = 2.0 * cosi[..., None] * n_or - wo
-    eta_ratio = ei / et
-    sin2t = eta_ratio * eta_ratio * jnp.maximum(0.0, 1.0 - cosi * cosi)
-    total_internal = sin2t >= 1.0
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2t))
-    wi_refract = vm.normalize(
-        n_or * (eta_ratio * cosi - cost)[..., None] - eta_ratio[..., None] * wo,
-        eps=1e-30,
-    )
+    if not need_dielectric:
+        F = jnp.zeros_like(cosi)
+        wi_reflect = wi_lambert
+        eta_ratio = jnp.ones_like(cosi)
+        total_internal = jnp.zeros_like(entering)
+        cost = cosi
+        wi_refract = wi_lambert
+    else:
+        F = fresnel_dielectric(cosi, ei, et)
+        wi_reflect = 2.0 * cosi[..., None] * n_or - wo
+        eta_ratio = ei / et
+        sin2t = eta_ratio * eta_ratio * jnp.maximum(0.0, 1.0 - cosi * cosi)
+        total_internal = sin2t >= 1.0
+        cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2t))
+        wi_refract = vm.normalize(
+            n_or * (eta_ratio * cosi - cost)[..., None]
+            - eta_ratio[..., None] * wo,
+            eps=1e-30,
+        )
     # radiance transport squeezes by eta^2; importance doesn't (Veach ch.5,
     # reference src/GoblinMaterial.cpp:378-387)
     eta_scale = jnp.where(mode == MODE_RADIANCE, eta_ratio * eta_ratio, 1.0)
@@ -329,11 +360,16 @@ def bsdf_sample(mat, ns, dpdu, wo, u1, u2, u_comp, type_mask,
     )
 
     # --- conductor mirror: F/cos, zero on backface
-    F_cond = fresnel_conductor(jnp.maximum(n_dot_wo, 0.0), mat["eta"], mat["k"])
-    mirror_scale = jnp.where(
-        n_dot_wo > 0.0, F_cond / jnp.maximum(n_dot_wo, 1e-12), 0.0
-    )
-    wi_mirror = 2.0 * vm.dotn(wo, ns) * ns - wo
+    if _need(mat, MAT_MIRROR):
+        F_cond = fresnel_conductor(jnp.maximum(n_dot_wo, 0.0),
+                                   mat["eta"], mat["k"])
+        mirror_scale = jnp.where(
+            n_dot_wo > 0.0, F_cond / jnp.maximum(n_dot_wo, 1e-12), 0.0
+        )
+        wi_mirror = 2.0 * vm.dotn(wo, ns) * ns - wo
+    else:
+        mirror_scale = jnp.zeros_like(n_dot_wo)
+        wi_mirror = wi_lambert
 
     # --- subsurface surface lobe: dielectric specular reflection only
     f_subsurface = mat["c0"] * reflect_scale_dielectric[..., None]
@@ -366,8 +402,12 @@ def bsdf_sample(mat, ns, dpdu, wo, u1, u2, u_comp, type_mask,
     # smooth-lobe f & pdf by evaluating the model at sampled wi
     f_l = _lambert_eval(mat, ns, wo, wi, BSDF_ALL)
     p_l = _lambert_pdf(mat, ns, wo, wi, BSDF_ALL)
-    f_b = _blinn_eval(mat, ns, wo, wi, BSDF_ALL)
-    p_b = _blinn_pdf(mat, ns, wo, wi, BSDF_ALL)
+    if _need(mat, MAT_BLINN):
+        f_b = _blinn_eval(mat, ns, wo, wi, BSDF_ALL)
+        p_b = _blinn_pdf(mat, ns, wo, wi, BSDF_ALL)
+    else:
+        f_b = f_l
+        p_b = p_l
 
     f = jnp.where(
         is_lambert[..., None],
